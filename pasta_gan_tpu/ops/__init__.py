@@ -1,0 +1,24 @@
+"""L0/L1 compute ops: the TPU-native replacements for the reference's CUDA layer."""
+
+from .bias_act import activation_funcs, bias_act
+from .conv2d_resample import conv2d_resample
+from .modulated_conv2d import modulated_conv2d
+from .upfirdn2d import (
+    downsample2d,
+    filter2d,
+    setup_filter,
+    upfirdn2d,
+    upsample2d,
+)
+
+__all__ = [
+    "activation_funcs",
+    "bias_act",
+    "conv2d_resample",
+    "modulated_conv2d",
+    "downsample2d",
+    "filter2d",
+    "setup_filter",
+    "upfirdn2d",
+    "upsample2d",
+]
