@@ -1,0 +1,231 @@
+"""Core equalized-LR building blocks (reference: `training/networks.py:30-660`).
+
+All modules are flax.linen, NHWC activations, HWIO conv weights, fp32 params
+with an optional compute `dtype` (bf16 on TPU).  Equalized learning rate is
+implemented exactly like the reference: parameters are initialized N(0,1)
+(divided by `lr_multiplier` for FC layers) and scaled at *runtime* by
+`gain = lr_multiplier / sqrt(fan_in)`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.bias_act import activation_funcs, bias_act
+from ..ops.conv2d_resample import conv2d_resample
+from ..ops.upfirdn2d import setup_filter
+
+Dtype = Any
+
+
+def normalize_2nd_moment(x: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
+    """PixelNorm (reference `networks.py:30-32`)."""
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+def instance_norm_2d(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """InstanceNorm2d(affine=False) over NHWC (torch nn.InstanceNorm2d semantics)."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _resample_filter_const(taps: Sequence[float]) -> np.ndarray:
+    """Static [fh,fw] filter baked at trace time (reference setup_filter buffer)."""
+    f = np.asarray(taps, dtype=np.float32)
+    if f.ndim == 1:
+        f = np.outer(f, f)
+    f = f / f.sum()
+    return f
+
+
+class FullyConnectedLayer(nn.Module):
+    """Equalized-LR linear (reference `networks.py:98-128`)."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+    activation: str = "linear"
+    lr_multiplier: float = 1.0
+    bias_init: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param(
+            "weight",
+            lambda k, s: jax.random.normal(k, s, jnp.float32) / self.lr_multiplier,
+            (self.out_features, self.in_features),
+        )
+        weight_gain = self.lr_multiplier / math.sqrt(self.in_features)
+        w = w.astype(self.dtype) * weight_gain
+        x = jnp.matmul(x.astype(self.dtype), w.T)
+        b = None
+        if self.use_bias:
+            b = self.param(
+                "bias", lambda k, s: jnp.full(s, self.bias_init, jnp.float32), (self.out_features,)
+            )
+            if self.lr_multiplier != 1.0:
+                b = b * self.lr_multiplier
+        return bias_act(x, b, axis=-1, act=self.activation)
+
+
+class Conv2dLayer(nn.Module):
+    """Equalized-LR conv + resample + bias_act (reference `networks.py:132-179`).
+
+    `trainable=False` (freeze-D) is recorded; actual freezing is an optimizer
+    mask concern in this framework (see train/).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    use_bias: bool = True
+    activation: str = "linear"
+    up: int = 1
+    down: int = 1
+    resample_filter: Sequence[float] = (1, 3, 3, 1)
+    conv_clamp: Optional[float] = None
+    trainable: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gain: float = 1.0) -> jax.Array:
+        k = self.kernel_size
+        w = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, self.in_channels, self.out_channels),
+        )
+        weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
+        f = jnp.asarray(_resample_filter_const(self.resample_filter))
+        x = conv2d_resample(
+            x.astype(self.dtype),
+            (w * weight_gain).astype(self.dtype),
+            f=f if (self.up > 1 or self.down > 1) else None,
+            up=self.up,
+            down=self.down,
+            padding=k // 2,
+            flip_weight=(self.up == 1),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        act_gain = activation_funcs[self.activation].def_gain * gain
+        act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
+        return bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)
+
+
+class ResBlock(nn.Module):
+    """Residual block with gain-0.5 skip (reference `networks.py:528-558`).
+
+    Note: the reference accepts a `kernel_size` argument but hardcodes 3x3
+    convolutions internally; we reproduce that behavior.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3  # accepted for parity; convs are 3x3 like the reference
+    activation: str = "linear"
+    up: int = 1
+    down: int = 1
+    resample_filter: Sequence[float] = (1, 3, 3, 1)
+    conv_clamp: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        common = dict(
+            resample_filter=self.resample_filter, conv_clamp=self.conv_clamp, dtype=self.dtype
+        )
+        y = Conv2dLayer(
+            self.in_channels, self.out_channels, 1, use_bias=False,
+            up=self.up, down=self.down, name="skip", **common,
+        )(x, gain=math.sqrt(0.5))
+        x = Conv2dLayer(
+            self.in_channels, self.out_channels, 3, activation=self.activation,
+            up=self.up, down=self.down, name="conv0", **common,
+        )(x)
+        x = Conv2dLayer(
+            self.out_channels, self.out_channels, 3, activation=self.activation,
+            name="conv1", **common,
+        )(x, gain=math.sqrt(0.5))
+        return y + x
+
+
+class MinibatchStdLayer(nn.Module):
+    """Minibatch standard deviation (reference `networks.py:1000-1022`).
+
+    Group statistics are computed over the *local* (per-shard) batch, which
+    under shard_map data-parallelism matches the reference's per-GPU behavior.
+    """
+
+    group_size: Optional[int] = 4
+    num_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        N, H, W, C = x.shape
+        G = min(self.group_size, N) if self.group_size is not None else N
+        F = self.num_channels
+        c = C // F
+        y = x.reshape(G, N // G, H, W, F, c).astype(jnp.float32)
+        y = y - jnp.mean(y, axis=0, keepdims=True)
+        y = jnp.mean(jnp.square(y), axis=0)
+        y = jnp.sqrt(y + 1e-8)
+        y = jnp.mean(y, axis=(1, 2, 4))  # [n, F]
+        y = y.astype(x.dtype)
+        y = jnp.tile(y[:, None, None, :], (G, H, W, 1))
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseNorm(nn.Module):
+    """Linear + InstanceNorm + LeakyReLU(0.01), the reference's `Dense`
+    (`networks.py:594-611`; torch-default inits, not equalized-LR)."""
+
+    in_channels: int
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="linear")(x)
+        x = instance_norm_2d(x)
+        return jax.nn.leaky_relu(x, 0.01)
+
+
+class SelfAttention(nn.Module):
+    """Spatial self-attention with max-pooled phi/g (reference `networks.py:613-643`)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ch = self.channels
+        N, H, W, C = x.shape
+        conv = lambda c, name: nn.Conv(
+            c, (1, 1), use_bias=False, dtype=self.dtype, name=name
+        )
+        theta = conv(ch // 8, "theta")(x)  # [N,H,W,ch/8]
+        phi = nn.max_pool(conv(ch // 8, "phi")(x), (2, 2), strides=(2, 2))
+        g = nn.max_pool(conv(ch // 2, "g")(x), (2, 2), strides=(2, 2))
+
+        theta = theta.reshape(N, H * W, ch // 8)
+        phi = phi.reshape(N, (H * W) // 4, ch // 8)
+        g = g.reshape(N, (H * W) // 4, ch // 2)
+        beta = jax.nn.softmax(
+            jnp.einsum("nqc,nkc->nqk", theta, phi, preferred_element_type=jnp.float32), axis=-1
+        ).astype(x.dtype)
+        o = jnp.einsum("nqk,nkc->nqc", beta, g).reshape(N, H, W, ch // 2)
+        o = conv(ch, "o")(o)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma.astype(x.dtype) * o + x

@@ -1,0 +1,458 @@
+"""Synthesis pyramid of the Full (training-target) generator cluster.
+
+Counterpart of `training/networks.py:263-440` (core layers) and
+`:5582-5840` (Full cluster: parsing-predicting ToRGB, cat_feat merges,
+SPADE refinement branch, texture_b256 finetune head).
+
+Block wiring notes preserved from the reference:
+* the first (4x4) block takes the pose feature map as its input instead of a
+  learned const (`networks.py:5682-5686`); the `const` parameter is still
+  created for checkpoint compatibility but unused,
+* at resolutions > 16 the person-retain features `cat_feat[res]` (64 channels)
+  are concatenated and merged by a 1x1 conv (`networks.py:5703-5706`),
+* each block consumes `num_conv` entries of ws and the skip-architecture ToRGB
+  consumes the first w of the *next* block (w_idx advances by num_conv only,
+  `networks.py:5809-5813`),
+* the finetune branch re-uses the last block's ws (`networks.py:5837-5838`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import bias_act, modulated_conv2d, upsample2d
+from .layers import Conv2dLayer, FullyConnectedLayer, ResBlock, activation_funcs, _resample_filter_const
+from .spade import SpadeResBlock
+
+Dtype = Any
+
+
+class SynthesisLayer(nn.Module):
+    """Modulated conv + optional per-pixel noise + bias_act (reference `networks.py:263-315`)."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int
+    resolution: int
+    kernel_size: int = 3
+    up: int = 1
+    use_noise: bool = True
+    activation: str = "lrelu"
+    resample_filter: Sequence[float] = (1, 3, 3, 1)
+    conv_clamp: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, w: jax.Array, noise_mode: str = "random", gain: float = 1.0
+    ) -> jax.Array:
+        assert noise_mode in ("random", "const", "none")
+        styles = FullyConnectedLayer(
+            self.w_dim, self.in_channels, bias_init=1.0, dtype=self.dtype, name="affine"
+        )(w)
+        k = self.kernel_size
+        weight = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, self.in_channels, self.out_channels),
+        )
+
+        noise = None
+        if self.use_noise and noise_mode != "none":
+            noise_strength = self.param("noise_strength", nn.initializers.zeros, ())
+            if noise_mode == "random":
+                noise = (
+                    jax.random.normal(
+                        self.make_rng("noise"),
+                        (x.shape[0], self.resolution, self.resolution, 1),
+                        self.dtype,
+                    )
+                    * noise_strength.astype(self.dtype)
+                )
+            else:  # const
+                noise_const = self.variable(
+                    "buffers",
+                    "noise_const",
+                    lambda: jax.random.normal(
+                        self.make_rng("params"), (self.resolution, self.resolution), jnp.float32
+                    ),
+                )
+                noise = (noise_const.value * noise_strength).astype(self.dtype)[None, :, :, None]
+
+        f = jnp.asarray(_resample_filter_const(self.resample_filter))
+        x = modulated_conv2d(
+            x.astype(self.dtype),
+            weight.astype(self.dtype),
+            styles,
+            noise=noise,
+            up=self.up,
+            padding=k // 2,
+            resample_filter=f if self.up > 1 else None,
+            flip_weight=(self.up == 1),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        act_gain = activation_funcs[self.activation].def_gain * gain
+        act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
+        return bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)
+
+
+class ToRGBLayer(nn.Module):
+    """1x1 modulated conv without demodulation (reference `networks.py:319-334`)."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int
+    kernel_size: int = 1
+    conv_clamp: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, w: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
+        styles = (
+            FullyConnectedLayer(
+                self.w_dim, self.in_channels, bias_init=1.0, dtype=self.dtype, name="affine"
+            )(w)
+            * weight_gain
+        )
+        weight = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, self.in_channels, self.out_channels),
+        )
+        x = modulated_conv2d(
+            x.astype(self.dtype), weight.astype(self.dtype), styles, demodulate=False
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return bias_act(x, b, axis=-1, clamp=self.conv_clamp)
+
+
+class ToRGBLayerFull(nn.Module):
+    """ToRGB with an extra 6-class parsing head on the final style block
+    (reference `networks.py:5582-5611`)."""
+
+    in_channels: int
+    out_channels: int
+    w_dim: int
+    kernel_size: int = 1
+    conv_clamp: Optional[float] = None
+    is_last: bool = False
+    is_style: bool = False
+    num_parsing_classes: int = 6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, w: jax.Array):
+        k = self.kernel_size
+        weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
+        styles = (
+            FullyConnectedLayer(
+                self.w_dim, self.in_channels, bias_init=1.0, dtype=self.dtype, name="affine"
+            )(w)
+            * weight_gain
+        )
+
+        pred_parsing = None
+        if self.is_last and self.is_style:
+            m_weight = self.param(
+                "m_weight1",
+                lambda key, s: jax.random.normal(key, s, jnp.float32),
+                (k, k, self.in_channels, self.num_parsing_classes),
+            )
+            m_bias = self.param("m_bias1", nn.initializers.zeros, (self.num_parsing_classes,))
+            pred_parsing = modulated_conv2d(
+                x.astype(self.dtype), m_weight.astype(self.dtype), styles, demodulate=False
+            )
+            pred_parsing = bias_act(pred_parsing, m_bias, axis=-1, clamp=self.conv_clamp)
+
+        weight = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, self.in_channels, self.out_channels),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        x = modulated_conv2d(
+            x.astype(self.dtype), weight.astype(self.dtype), styles, demodulate=False
+        )
+        x = bias_act(x, b, axis=-1, clamp=self.conv_clamp)
+        return x, pred_parsing
+
+
+class SynthesisBlockFull(nn.Module):
+    """Two synthesis layers + skip-ToRGB + cat_feat merge (reference `networks.py:5614-5719`)."""
+
+    in_channels: int  # 0 = first block
+    out_channels: int
+    w_dim: int
+    resolution: int
+    img_channels: int
+    is_last: bool
+    is_style: bool = False
+    architecture: str = "skip"
+    resample_filter: Sequence[float] = (1, 3, 3, 1)
+    conv_clamp: Optional[float] = None
+    use_noise: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_conv(self) -> int:
+        return 1 if self.in_channels == 0 else 2
+
+    @property
+    def num_torgb(self) -> int:
+        return 1 if (self.is_last or self.architecture == "skip") else 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Optional[jax.Array],
+        img: Optional[jax.Array],
+        ws: jax.Array,  # [N, num_conv + num_torgb, w_dim]
+        pose_feature: jax.Array,
+        cat_feat: Dict[str, jax.Array],
+        noise_mode: str = "random",
+    ):
+        assert self.architecture in ("orig", "skip", "resnet")
+        layer_common = dict(
+            w_dim=self.w_dim,
+            resolution=self.resolution,
+            resample_filter=self.resample_filter,
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+            dtype=self.dtype,
+        )
+        w_idx = 0
+
+        if self.in_channels == 0:
+            # Kept for checkpoint-shape parity with the reference; the forward
+            # pass uses the pose feature instead (networks.py:5645-5647,5682-5686).
+            self.param(
+                "const",
+                lambda key, s: jax.random.normal(key, s, jnp.float32),
+                (self.resolution, self.resolution, self.out_channels),
+            )
+            x = pose_feature.astype(self.dtype)
+            x = SynthesisLayer(self.out_channels, self.out_channels, name="conv1", **layer_common)(
+                x, ws[:, w_idx], noise_mode=noise_mode
+            )
+            w_idx += 1
+        elif self.architecture == "resnet":
+            y = Conv2dLayer(
+                self.in_channels, self.out_channels, 1, use_bias=False, up=2,
+                resample_filter=self.resample_filter, dtype=self.dtype, name="skip",
+            )(x, gain=math.sqrt(0.5))
+            x = SynthesisLayer(
+                self.in_channels, self.out_channels, up=2, name="conv0", **layer_common
+            )(x.astype(self.dtype), ws[:, w_idx], noise_mode=noise_mode)
+            w_idx += 1
+            x = SynthesisLayer(self.out_channels, self.out_channels, name="conv1", **layer_common)(
+                x, ws[:, w_idx], noise_mode=noise_mode, gain=math.sqrt(0.5)
+            )
+            w_idx += 1
+            x = y + x
+        else:
+            x = SynthesisLayer(
+                self.in_channels, self.out_channels, up=2, name="conv0", **layer_common
+            )(x.astype(self.dtype), ws[:, w_idx], noise_mode=noise_mode)
+            w_idx += 1
+            x = SynthesisLayer(self.out_channels, self.out_channels, name="conv1", **layer_common)(
+                x, ws[:, w_idx], noise_mode=noise_mode
+            )
+            w_idx += 1
+            if self.resolution > 16:
+                feat = cat_feat[str(self.resolution)].astype(self.dtype)
+                x = jnp.concatenate([x, feat], axis=-1)
+                x = Conv2dLayer(
+                    self.out_channels + feat.shape[-1],
+                    self.out_channels,
+                    1,
+                    resample_filter=self.resample_filter,
+                    dtype=self.dtype,
+                    name="merge_conv",
+                )(x)
+
+        pred_parsing = None
+        if img is not None:
+            f = jnp.asarray(_resample_filter_const(self.resample_filter))
+            img = upsample2d(img, f)
+        if self.is_last or self.architecture == "skip":
+            y, pred_parsing = ToRGBLayerFull(
+                self.out_channels,
+                self.img_channels,
+                w_dim=self.w_dim,
+                conv_clamp=self.conv_clamp,
+                is_last=self.is_last,
+                is_style=self.is_style,
+                dtype=self.dtype,
+                name="torgb",
+            )(x, ws[:, w_idx])
+            y = y.astype(jnp.float32)
+            img = img + y if img is not None else y
+        return x, img, pred_parsing
+
+
+class SynthesisNetworkFull(nn.Module):
+    """Skip-pyramid 4->img_resolution + SPADE refinement + texture finetune head
+    (reference `networks.py:5722-5840`)."""
+
+    w_dim: int
+    img_resolution: int
+    img_channels: int
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 0  # parity only; compute dtype governed by `dtype`
+    conv_clamp: Optional[float] = None
+    use_noise: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def block_resolutions(self):
+        n = int(math.log2(self.img_resolution))
+        return [2**i for i in range(2, n + 1)]
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    @property
+    def num_ws(self) -> int:
+        total = 0
+        for res in self.block_resolutions:
+            total += 1 if res == 4 else 2
+        return total + 1  # + last block's torgb
+
+    def _block(self, res: int, is_last: bool, is_style: bool, name: str) -> SynthesisBlockFull:
+        return SynthesisBlockFull(
+            in_channels=self.channels(res // 2) if res > 4 else 0,
+            out_channels=self.channels(res),
+            w_dim=self.w_dim,
+            resolution=res,
+            img_channels=self.img_channels,
+            is_last=is_last,
+            is_style=is_style,
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    def get_spade_feat(self, mask: jax.Array, denorm_mask: jax.Array, denorm_input: jax.Array):
+        """Fill person-visible-but-garment-missing regions with the average of
+        valid denorm features (reference `networks.py:5777-5800`).  NHWC."""
+        spade_encoder = self.spade_encoder  # bound submodule (see setup)
+        mask = (mask > 0.9).astype(denorm_input.dtype)
+        # F.interpolate(scale_factor=0.5) nearest == stride-2 subsample.
+        mask_128 = mask[:, ::2, ::2, :]
+        denorm_mask_128 = denorm_mask[:, ::2, ::2, :]
+        mask_128 = (mask_128 > 0.9).astype(mask.dtype)
+        denorm_mask_128 = (denorm_mask_128 > 0.9).astype(mask.dtype)
+
+        valid_mask = ((mask_128 + denorm_mask_128) == 2.0).astype(mask.dtype)
+        res_mask = mask_128 - valid_mask
+
+        denorm_input = denorm_input * mask - (1.0 - mask)
+        feat = spade_encoder(denorm_input)
+        valid_feat = feat * valid_mask
+
+        feat_hw = feat.shape[1] * feat.shape[2]
+        valid_feat_sum = jnp.sum(valid_feat, axis=(1, 2), keepdims=True)
+        valid_mask_sum = jnp.sum(valid_mask, axis=(1, 2), keepdims=True)
+        valid_index = (valid_mask_sum > 10).astype(mask.dtype)
+        valid_mask_sum = valid_mask_sum * valid_index + feat_hw * (1.0 - valid_index)
+        avg_feat = valid_feat_sum / valid_mask_sum
+
+        return feat * (1.0 - res_mask) + avg_feat * res_mask
+
+    def setup(self):
+        resolutions = self.block_resolutions
+        blocks = []
+        for res in resolutions:
+            is_last = res == self.img_resolution
+            blocks.append(self._block(res, is_last=is_last, is_style=True, name=f"b{res}"))
+        self.blocks = blocks
+
+        res_pre = resolutions[-2]
+        ch = self.channels(res_pre)
+        self.spade_b128_1 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
+        self.spade_b128_2 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
+        self.spade_b128_3 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
+
+        res = resolutions[-1]
+        self.texture_b256 = SynthesisBlockFull(
+            in_channels=self.channels(res // 2),
+            out_channels=self.channels(res),
+            w_dim=self.w_dim,
+            resolution=res,
+            img_channels=self.img_channels,
+            is_last=True,
+            is_style=False,
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+            dtype=self.dtype,
+            name="texture_b256",
+        )
+
+        ngf = 64
+        self.spade_encoder = nn.Sequential(
+            [
+                Conv2dLayer(3, ngf, 7, activation="relu", dtype=self.dtype),
+                ResBlock(ngf, ngf, kernel_size=4, activation="relu", dtype=self.dtype),
+                ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2, dtype=self.dtype),
+            ]
+        )
+
+    def __call__(
+        self,
+        ws: jax.Array,  # [N, num_ws, w_dim]
+        pose_feat: jax.Array,
+        cat_feat: Dict[str, jax.Array],
+        denorm_upper_input: jax.Array,
+        denorm_lower_input: jax.Array,
+        denorm_upper_mask: jax.Array,
+        denorm_lower_mask: jax.Array,
+        noise_mode: str = "random",
+    ):
+        assert ws.shape[1] == self.num_ws, (ws.shape, self.num_ws)
+        resolutions = self.block_resolutions
+
+        # Split ws: each block reads num_conv + num_torgb entries but the index
+        # only advances by num_conv (skip-torgb shares the next block's first w).
+        block_ws = []
+        w_idx = 0
+        for res, block in zip(resolutions, self.blocks):
+            block_ws.append(
+                jax.lax.dynamic_slice_in_dim(ws, w_idx, block.num_conv + block.num_torgb, axis=1)
+            )
+            w_idx += block.num_conv
+
+        x = img = None
+        x_128 = img_128 = None
+        pred_parsing = None
+        for res, block, cur_ws in zip(resolutions, self.blocks, block_ws):
+            x, img, pred_parsing = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode=noise_mode)
+            if res == resolutions[-2]:
+                x_128, img_128 = x, img
+
+        # Parsing -> upper/lower masks (argmax is not differentiated; the
+        # reference detaches here too, networks.py:5822-5826).
+        parsing_idx = jnp.argmax(jax.lax.stop_gradient(pred_parsing), axis=-1)[..., None]
+        upper_mask = (parsing_idx == 1).astype(jnp.float32)
+        lower_mask = (parsing_idx == 2).astype(jnp.float32)
+
+        spade_upper = self.get_spade_feat(upper_mask, denorm_upper_mask, denorm_upper_input)
+        spade_lower = self.get_spade_feat(lower_mask, denorm_lower_mask, denorm_lower_input)
+        spade_feat = jnp.concatenate([spade_upper, spade_lower], axis=-1)
+
+        h = self.spade_b128_1(x_128, spade_feat)
+        h = self.spade_b128_2(h, spade_feat)
+        h = self.spade_b128_3(h, spade_feat)
+
+        _, finetune_img, _ = self.texture_b256(
+            h, img_128, block_ws[-1], pose_feat, cat_feat, noise_mode=noise_mode
+        )
+        return img, finetune_img, pred_parsing
