@@ -1,0 +1,55 @@
+"""Device mesh + DP step wrappers — the TPU-native replacement for the
+reference's DDP/NCCL layer (SURVEY.md section 2.9).
+
+The reference shards data by `InfiniteSampler` rank striding and allreduces
+grads via per-module DDP wrappers; here a 1-D `data` mesh over ICI carries the
+batch, params stay replicated, and the gradient `lax.pmean` inside the step
+(train/step.py) is the single collective — XLA schedules it on ICI.
+Multi-host scaling is the same program over a larger mesh
+(`jax.distributed.initialize` + the same shard_map).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+DATA_AXIS = "data"
+
+
+def data_parallel_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch with leading dim divisible by mesh size onto devices."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh):
+    """Wrap a (state, batch, rng) -> (state, stats) step for DP execution.
+
+    state/rng are replicated, batch is sharded on the data axis; the step_fn
+    must already pmean its grads/stats over DATA_AXIS (GANTrainer does when
+    constructed with axis_name=DATA_AXIS).
+    """
+    mapped = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))

@@ -1,0 +1,180 @@
+"""Training-step tests: single-device and 8-virtual-device data parallelism.
+
+The 8-device test is the TPU-native version of the reference's multi-GPU
+verification: sharded batch, pmean'd grads, and a replication consistency
+check standing in for `misc.check_ddp_consistency` (SURVEY.md section 4).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pasta_gan_tpu.parallel import (
+    data_parallel_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from pasta_gan_tpu.runtime.config import (
+    AdaConfig,
+    LossConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from pasta_gan_tpu.train.step import GANTrainer
+
+
+def tiny_config(res=32, vgg=False):
+    return TrainConfig(
+        model=ModelConfig(
+            img_resolution=res,
+            channel_base=512,
+            channel_max=64,
+            mbstd_group_size=2,
+            mapping_layers=1,
+        ),
+        loss=LossConfig(
+            l1_weight=40.0,
+            vgg_weight=40.0 if vgg else 0.0,
+            mask_weight=20.0,
+            r1_gamma=10.0,
+        ),
+        ada=AdaConfig(enabled=True, interval=2, kimg=1),
+        batch_size=8,
+        ema_kimg=10.0,
+    )
+
+
+def synth_batch(rng, N, res):
+    k = jax.random.split(jax.random.PRNGKey(rng), 8)
+    return {
+        "real_img": jax.random.normal(k[0], (N, res, res, 3)),
+        "style_input": jax.random.normal(k[1], (N, res, res, 42)),
+        "retain": jax.random.normal(k[2], (N, res, res, 3)),
+        "pose": jax.random.normal(k[3], (N, res, res, 6)),
+        "denorm_upper_img": jax.random.normal(k[4], (N, res, res, 3)),
+        "denorm_lower_img": jax.random.normal(k[5], (N, res, res, 3)),
+        "denorm_upper_mask": (jax.random.uniform(k[6], (N, res, res, 1)) > 0.5).astype(
+            jnp.float32
+        ),
+        "denorm_lower_mask": (jax.random.uniform(k[7], (N, res, res, 1)) > 0.5).astype(
+            jnp.float32
+        ),
+        "gt_parsing": jax.random.randint(k[0], (N, res, res), 0, 6),
+    }
+
+
+def _finite(tree):
+    return all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(tree))
+
+
+def test_train_step_single_device():
+    cfg = tiny_config()
+    trainer = GANTrainer(cfg)
+    batch = synth_batch(0, 4, cfg.model.img_resolution)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    step = jax.jit(trainer.train_step)
+    state1, stats = step(state, batch, jax.random.PRNGKey(1))
+    assert int(state1.step) == 1
+    assert _finite(stats)
+    assert _finite(state1.g_params)
+    # params actually moved
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    g1 = jax.tree_util.tree_leaves(state1.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+    r1 = jax.jit(trainer.d_r1_step)
+    state2, r1_stats = r1(state1, batch, jax.random.PRNGKey(2))
+    assert _finite(r1_stats)
+    assert float(r1_stats["Loss/r1_penalty"]) >= 0
+
+
+def test_train_step_data_parallel_8dev():
+    assert len(jax.devices()) == 8
+    cfg = tiny_config()
+    mesh = data_parallel_mesh()
+    trainer = GANTrainer(cfg, axis_name="data")
+    batch = synth_batch(0, 8, cfg.model.img_resolution)
+
+    state = trainer.init_state(jax.random.PRNGKey(0), synth_batch(0, 1, cfg.model.img_resolution))
+    state = replicate(state, mesh)
+    sharded_batch = shard_batch(batch, mesh)
+
+    dp_step = make_sharded_train_step(trainer.train_step, mesh)
+    state1, stats = dp_step(state, sharded_batch, jax.random.PRNGKey(1))
+    assert _finite(stats)
+
+    # Replication consistency: every leaf must be identical on all 8 devices
+    # (the shard_map out_spec P() asserts this structurally; verify numerically
+    # by comparing per-device shards of one representative leaf).
+    leaf = jax.tree_util.tree_leaves(state1.g_params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+    # second step exercises donated buffers
+    state2, _ = dp_step(state1, sharded_batch, jax.random.PRNGKey(2))
+    assert int(jax.device_get(state2.step)) == 2
+
+
+def test_dp_grads_equal_mean_of_shard_grads():
+    """shard_map + pmean grads == the mean of per-shard grads computed by hand.
+
+    Per-shard semantics (mbstd over the local batch, per-shard CE
+    normalization) intentionally match the reference's per-GPU behavior, so
+    the correct invariant is equality with a manual shard loop, not with a
+    single global-batch evaluation.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, use_noise=False))
+    res = cfg.model.img_resolution
+    n_dev = 2  # submesh keeps the manual shard loop cheap
+    batch = synth_batch(3, n_dev, res)
+    rng = jax.random.PRNGKey(7)
+
+    trainer = GANTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    # Manual per-shard grads, averaged.
+    shard_grads = []
+    for d in range(n_dev):
+        shard = {k: v[d : d + 1] for k, v in batch.items()}
+        (_, _), g = jax.value_and_grad(trainer.g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, shard, state.ada_p, rng
+        )
+        shard_grads.append(g)
+    grads_manual = jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / len(xs), *shard_grads
+    )
+
+    # shard_map grads with pmean (same fixed rng on every shard).
+    mesh = data_parallel_mesh(jax.devices()[:n_dev])
+
+    def inner(g_params, d_params, batch, ada_p):
+        (_, _), grads = jax.value_and_grad(trainer.g_loss_fn, has_aux=True)(
+            g_params, d_params, batch, ada_p, rng
+        )
+        return jax.lax.pmean(grads, "data")
+
+    grads_dp = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(state.g_params, state.d_params, batch, state.ada_p)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_manual), jax.tree_util.tree_leaves(grads_dp)
+    ):
+        # fp32 reduction-order noise: compare with a scale-aware tolerance.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
