@@ -57,15 +57,14 @@ def _bilinear_sample(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border:
     return top * (1 - fy) + bot * fy
 
 
-def warp_perspective(
+def warp_perspective_inv(
     img: jnp.ndarray,  # [H, W, C] float
-    M: jnp.ndarray,  # [3, 3] src->dst (cv2 convention; inverted internally)
+    Minv: jnp.ndarray,  # [3, 3] mapping dst pixel -> src pixel directly
     out_hw: tuple[int, int],
     border: str = "constant",
 ) -> jnp.ndarray:
-    """cv2.warpPerspective(img, M, (w, h)) with bilinear interpolation."""
+    """Warp with an explicit dst->src matrix (no inversion)."""
     h, w = out_hw
-    Minv = jnp.linalg.inv(M)
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # [h,w]
@@ -74,6 +73,16 @@ def warp_perspective(
     sx = (Minv[0, 0] * gx + Minv[0, 1] * gy + Minv[0, 2]) / denom
     sy = (Minv[1, 0] * gx + Minv[1, 1] * gy + Minv[1, 2]) / denom
     return _bilinear_sample(img, sx, sy, border)
+
+
+def warp_perspective(
+    img: jnp.ndarray,  # [H, W, C] float
+    M: jnp.ndarray,  # [3, 3] src->dst (cv2 convention; inverted internally)
+    out_hw: tuple[int, int],
+    border: str = "constant",
+) -> jnp.ndarray:
+    """cv2.warpPerspective(img, M, (w, h)) with bilinear interpolation."""
+    return warp_perspective_inv(img, jnp.linalg.inv(M), out_hw, border)
 
 
 # vmap over the 10 parts (matrices differ, image shared).

@@ -85,6 +85,10 @@ class GANTrainer:
             dtype=dtype,
         )
         self.vgg_params = vgg_params
+        if augment_fn is None and config.ada.enabled:
+            from .augment import AugmentPipe
+
+            augment_fn = AugmentPipe.from_spec(config.ada.pipe)
         self.augment_fn = augment_fn  # (images, p, rng) -> images
         self.axis_name = axis_name
 
