@@ -1,0 +1,17 @@
+"""Data pipeline: host decode + on-device patch routing."""
+
+from .dataset import (
+    SyntheticUvitonDataset,
+    UvitonDataset256Test,
+    UvitonDatasetFull,
+    collate,
+    prepare_train_batch,
+    prepare_tryon_batch,
+)
+from .geometry import BPARTS, KEYPOINT_ORDER, part_transforms
+from .warp import (
+    route_patches_batch,
+    route_patches_transfer_batch,
+    warp_perspective,
+    warp_perspective_inv,
+)
