@@ -1,0 +1,155 @@
+"""Metrics CLI (reference `calc_metrics.py`).
+
+Computes FID/KID/IS/PR over generated try-on images vs dataset reals.
+Sources: --gen_dir (a folder of images, e.g. cli.test output) or --network
+(generate on the fly over the test pairs); reals from --dataroot or
+--real_dir.  Detector: --detector (local TorchScript inception .pt for
+reference-exact numbers) or the built-in deterministic conv extractor.
+
+  python -m pasta_gan_tpu.cli.calc_metrics --metrics fid50k_full,kid50k_full \\
+      --gen_dir ./test_results --real_dir /data/UPT_256/.../image
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _folder_source(path: str, batch: int = 32, resolution=None):
+    import PIL.Image
+
+    exts = (".png", ".jpg", ".jpeg")
+    fnames = sorted(
+        os.path.join(root, f)
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.lower().endswith(exts)
+    )
+    if not fnames:
+        raise SystemExit(f"no images under {path}")
+
+    def source():
+        buf = []
+        for fn in fnames:
+            img = PIL.Image.open(fn).convert("RGB")
+            if resolution is not None:
+                img = img.resize((resolution, resolution), PIL.Image.LANCZOS)
+            buf.append(np.asarray(img, np.uint8))
+            if len(buf) == batch:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
+
+    return source
+
+
+def _network_source(network: str, dataroot, synthetic: int, batch: int):
+    """Generate try-on images on the fly (the reference's generator path)."""
+    import jax
+
+    from ..cli.test import main as _  # noqa: reuse is structural; build inline instead
+    from ..data.dataset import (
+        SyntheticUvitonDataset,
+        UvitonDataset256Test,
+        collate,
+        prepare_tryon_batch,
+    )
+    from ..io.checkpoints import load_snapshot
+    from ..models import GeneratorFull, cat_feats_dict
+    import jax.numpy as jnp
+
+    g_ema_params, w_avg, config = load_snapshot(network)
+    mc = config.get("model", {})
+    gen = GeneratorFull(
+        z_dim=mc.get("z_dim", 0), c_dim=mc.get("c_dim", 512), w_dim=mc.get("w_dim", 512),
+        img_resolution=mc.get("img_resolution", 256),
+        channel_base=mc.get("channel_base", 16384), channel_max=mc.get("channel_max", 512),
+        mapping_layers=mc.get("mapping_layers", 1), conv_clamp=mc.get("conv_clamp", 256.0),
+    )
+
+    @jax.jit
+    def forward(batch):
+        stylecode, feats = gen.apply(
+            g_ema_params, batch["style_input"], batch["retain"], method=gen.encode_style
+        )
+        pose_feat = gen.apply(g_ema_params, batch["pose"], method=gen.encode_pose)
+        ws, _ = gen.apply(g_ema_params, None, stylecode, method=gen.map_ws)
+        _, finetune_img, _ = gen.apply(
+            g_ema_params, ws, pose_feat, cat_feats_dict(feats),
+            batch["denorm_upper_img"], batch["denorm_lower_img"],
+            batch["denorm_upper_mask"], batch["denorm_lower_mask"],
+            method=gen.synthesize, noise_mode="none",
+        )
+        return finetune_img
+
+    if synthetic:
+        ds = SyntheticUvitonDataset(num_samples=synthetic)
+        pairs = [(ds[i], ds[(i + 1) % len(ds)]) for i in range(len(ds))]
+    else:
+        tds = UvitonDataset256Test(dataroot)
+        pairs = [(r["person"], r["garment"]) for r in (tds[i] for i in range(len(tds)))]
+
+    def source():
+        for i in range(0, len(pairs), batch):
+            chunk = pairs[i : i + batch]
+            b = prepare_tryon_batch(collate([c[0] for c in chunk]), collate([c[1] for c in chunk]))
+            out = np.asarray(jax.device_get(forward(b)), np.float32)
+            yield np.clip((out + 1) * 127.5, 0, 255).astype(np.uint8)
+
+    return source
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--metrics", default="fid50k_full", help="comma-separated metric list")
+    p.add_argument("--gen_dir", default=None)
+    p.add_argument("--network", default=None)
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--real_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--detector", default=None, help="local TorchScript inception .pt")
+    p.add_argument("--run_dir", default=None, help="where to append metric-*.jsonl")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--resolution", type=int, default=None, help="resize folder images")
+    args = p.parse_args(argv)
+
+    from ..metrics import calc_metric, default_extractor, is_valid_metric, report_metric
+
+    if args.gen_dir:
+        gen_source = _folder_source(args.gen_dir, args.batch, args.resolution)
+    elif args.network:
+        gen_source = _network_source(args.network, args.dataroot, args.synthetic, args.batch)
+    else:
+        raise SystemExit("--gen_dir or --network required")
+
+    if args.real_dir:
+        real_source = _folder_source(args.real_dir, args.batch, args.resolution)
+    elif args.synthetic:
+        from ..data.dataset import SyntheticUvitonDataset
+
+        ds = SyntheticUvitonDataset(num_samples=args.synthetic)
+
+        def real_source():
+            imgs = np.stack([ds[i]["image"] for i in range(len(ds))])
+            for i in range(0, len(imgs), args.batch):
+                yield imgs[i : i + args.batch]
+    else:
+        raise SystemExit("--real_dir or --synthetic required")
+
+    extractor = default_extractor(args.detector)
+    for metric in args.metrics.split(","):
+        metric = metric.strip()
+        if not is_valid_metric(metric):
+            raise SystemExit(f"unknown metric {metric}")
+        result = calc_metric(
+            metric, real_source=real_source, gen_source=gen_source, extractor=extractor
+        )
+        report_metric(result, run_dir=args.run_dir, snapshot=args.network or args.gen_dir)
+
+
+if __name__ == "__main__":
+    main()

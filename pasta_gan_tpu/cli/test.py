@@ -1,0 +1,120 @@
+"""256x192 unpaired try-on inference CLI (reference `test.py`).
+
+Loads a network snapshot (G_ema), iterates person/garment pairs, routes the
+garment patches into the person's pose on-device, synthesizes, un-pads the
+256x256 canvas back to 256x192, and writes `person__garment.png` files.
+
+  python -m pasta_gan_tpu.cli.test --network runs/.../network-snapshot-000123 \\
+      --dataroot /data/UPT_test --outdir ./test_results --batchsize 16
+
+Use --synthetic N for a data-free smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def save_image(arr: np.ndarray, path: str) -> None:
+    import PIL.Image
+
+    img = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    PIL.Image.fromarray(img).save(path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--network", required=True, help="network snapshot dir")
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--batchsize", type=int, default=16)
+    p.add_argument("--truncation_psi", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    from ..data.dataset import SyntheticUvitonDataset, UvitonDataset256Test, collate, prepare_tryon_batch
+    from ..io.checkpoints import load_snapshot
+    from ..models import GeneratorFull, cat_feats_dict
+    from ..runtime.config import ModelConfig
+
+    g_ema_params, w_avg, config = load_snapshot(args.network)
+    mc = config.get("model", {})
+    gen = GeneratorFull(
+        z_dim=mc.get("z_dim", 0),
+        c_dim=mc.get("c_dim", 512),
+        w_dim=mc.get("w_dim", 512),
+        img_resolution=mc.get("img_resolution", 256),
+        channel_base=mc.get("channel_base", 16384),
+        channel_max=mc.get("channel_max", 512),
+        mapping_layers=mc.get("mapping_layers", 1),
+        conv_clamp=mc.get("conv_clamp", 256.0),
+        style_input_nc=mc.get("style_input_nc", 42),
+    )
+    w_avg = jnp.asarray(w_avg)
+
+    @jax.jit
+    def forward(batch):
+        """Mirrors test.py:118-128: explicit style/const/mapping/synthesis calls."""
+        stylecode, feats = gen.apply(
+            g_ema_params, batch["style_input"], batch["retain"], method=gen.encode_style
+        )
+        pose_feat = gen.apply(g_ema_params, batch["pose"], method=gen.encode_pose)
+        ws, _ = gen.apply(
+            g_ema_params, None, stylecode,
+            w_avg=w_avg, truncation_psi=args.truncation_psi,
+            method=gen.map_ws,
+        )
+        img, finetune_img, _ = gen.apply(
+            g_ema_params,
+            ws,
+            pose_feat,
+            cat_feats_dict(feats),
+            batch["denorm_upper_img"],
+            batch["denorm_lower_img"],
+            batch["denorm_upper_mask"],
+            batch["denorm_lower_mask"],
+            method=gen.synthesize,
+            noise_mode="none",
+        )
+        return finetune_img
+
+    if args.synthetic:
+        ds = SyntheticUvitonDataset(num_samples=args.synthetic)
+        pairs = [(ds[i], ds[(i + 1) % len(ds)], f"s{i}.jpg", f"s{(i + 1) % len(ds)}.jpg")
+                 for i in range(len(ds))]
+    else:
+        if args.dataroot is None:
+            raise SystemExit("--dataroot or --synthetic required")
+        test_ds = UvitonDataset256Test(args.dataroot)
+        pairs = [
+            (r["person"], r["garment"], r["person_name"], r["garment_name"])
+            for r in (test_ds[i] for i in range(len(test_ds)))
+        ]
+
+    B = args.batchsize
+    n_written = 0
+    for i in range(0, len(pairs), B):
+        chunk = pairs[i : i + B]
+        person = collate([c[0] for c in chunk])
+        garment = collate([c[1] for c in chunk])
+        batch = prepare_tryon_batch(person, garment)
+        out = np.asarray(jax.device_get(forward(batch)), np.float32)
+        for j, (_, _, pname, gname) in enumerate(chunk):
+            # un-pad 256x256 -> 256x192 (test.py:130-150 crop [:, 32:224])
+            img = out[j][:, 32:224, :]
+            name = f"{os.path.basename(pname).split('.')[0]}__{os.path.basename(gname).split('.')[0]}.png"
+            save_image(img, os.path.join(args.outdir, name))
+            n_written += 1
+    print(f"wrote {n_written} try-on images to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

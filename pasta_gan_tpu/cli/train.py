@@ -1,0 +1,142 @@
+"""Training CLI (reference `train_wo_flow_fullbody.py`).
+
+Flag-compatible with the reference where meaningful on TPU (no --gpus/NCCL:
+parallelism is the device mesh).  Example (the train.sh config of record):
+
+  python -m pasta_gan_tpu.cli.train --outdir ./runs --data /data/UPT_256 \\
+      --cfg fashion --batch 96 --l1_weight 40 --vgg_weight 40 \\
+      --contextual_weight 0 --pl_weight 0 --mask_weight 20
+
+Use --synthetic for a data-free smoke run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+import jax
+
+
+def make_run_dir(outdir: str, desc: str) -> str:
+    """NNNNN-desc run-dir numbering (reference train_wo_flow_fullbody.py:525-532)."""
+    os.makedirs(outdir, exist_ok=True)
+    prev = [
+        int(m.group(1))
+        for d in os.listdir(outdir)
+        if (m := re.match(r"^(\d+)-", d))
+    ]
+    run_id = max(prev, default=-1) + 1
+    run_dir = os.path.join(outdir, f"{run_id:05d}-{desc}")
+    os.makedirs(run_dir)
+    return run_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--data", default=None, help="UPT_256 dataset root")
+    p.add_argument("--synthetic", type=int, default=0, help="use N synthetic samples instead of --data")
+    p.add_argument("--cfg", default="fashion", help="config preset")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--kimg", type=int, default=None)
+    p.add_argument("--gamma", type=float, default=None, help="R1 gamma override")
+    p.add_argument("--l1_weight", type=float, default=40.0)
+    p.add_argument("--vgg_weight", type=float, default=40.0)
+    p.add_argument("--mask_weight", type=float, default=20.0)
+    p.add_argument("--contextual_weight", type=float, default=0.0)
+    p.add_argument("--pl_weight", type=float, default=0.0)
+    p.add_argument("--aug", default="ada", choices=["ada", "noaug", "fixed"])
+    p.add_argument("--p", type=float, default=0.0, help="fixed augment p (--aug fixed)")
+    p.add_argument("--target", type=float, default=0.6, help="ADA target")
+    p.add_argument("--augpipe", default="bgc")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None, help="train-state checkpoint dir")
+    p.add_argument("--vgg_ckpt", default=None, help="torch vgg19 state_dict path")
+    p.add_argument("--snap", type=int, default=50, help="snapshot interval ticks")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--fmaps", type=float, default=None, help="channel_base multiplier override (reference --fmaps)")
+    p.add_argument("--kimg_per_tick", type=int, default=None)
+    p.add_argument("-n", "--dry-run", action="store_true")
+    args = p.parse_args(argv)
+
+    from ..runtime.config import from_preset, replace_nested, to_json
+
+    config = from_preset(args.cfg, batch=args.batch)
+    overrides = {
+        "loss.l1_weight": args.l1_weight,
+        "loss.vgg_weight": args.vgg_weight,
+        "loss.mask_weight": args.mask_weight,
+        "loss.contextual_weight": args.contextual_weight,
+        "loss.pl_weight": args.pl_weight,
+        "ada.enabled": args.aug != "noaug",
+        "ada.target": args.target,
+        "ada.pipe": args.augpipe,
+        "ada.initial_p": args.p,
+        "random_seed": args.seed,
+        "compute_dtype": args.dtype,
+        "network_snapshot_ticks": args.snap,
+    }
+    if args.gamma is not None:
+        overrides["loss.r1_gamma"] = args.gamma
+    if args.kimg is not None:
+        overrides["total_kimg"] = args.kimg
+    if args.fmaps is not None:
+        overrides["model.channel_base"] = int(args.fmaps * 32768)
+    if args.kimg_per_tick is not None:
+        overrides["kimg_per_tick"] = args.kimg_per_tick
+    config = replace_nested(config, **overrides)
+
+    desc = f"{args.cfg}-batch{config.batch_size}"
+    if args.synthetic:
+        desc += "-synthetic"
+
+    if args.dry_run:
+        print("Resolved training config:")
+        print(to_json(config))
+        print("\nDry run: exiting (reference --dry-run semantics).")
+        return
+
+    # dataset
+    if args.synthetic:
+        from ..data.dataset import SyntheticUvitonDataset
+
+        dataset = SyntheticUvitonDataset(num_samples=args.synthetic, seed=args.seed)
+    else:
+        if args.data is None:
+            raise SystemExit("--data or --synthetic required")
+        from ..data.dataset import UvitonDatasetFull
+
+        dataset = UvitonDatasetFull(args.data, random_seed=args.seed)
+
+    vgg_params = None
+    if config.loss.vgg_weight > 0:
+        from ..train.vgg import init_vgg19, load_torch_vgg19
+
+        if args.vgg_ckpt and os.path.exists(args.vgg_ckpt):
+            vgg_params = load_torch_vgg19(args.vgg_ckpt)
+            print(f"loaded VGG19 weights from {args.vgg_ckpt}")
+        else:
+            print("WARNING: no --vgg_ckpt; using randomly-initialized VGG features")
+            vgg_params = init_vgg19(jax.random.PRNGKey(0))
+
+    from ..parallel import data_parallel_mesh
+    from ..train.loop import training_loop
+
+    mesh = data_parallel_mesh() if len(jax.devices()) > 1 else None
+    run_dir = make_run_dir(args.outdir, desc)
+    print(f"run dir: {run_dir}; devices: {jax.devices()}")
+
+    training_loop(
+        run_dir=run_dir,
+        dataset=dataset,
+        config=config,
+        mesh=mesh,
+        vgg_params=vgg_params,
+        resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""Evaluation metrics: FID/KID/IS/PR (+PPL formula) with pluggable extractors."""
+
+from .extractors import SimpleConvFeatures, TorchScriptDetector, default_extractor
+from .feature_stats import FeatureStats, stats_cache_path
+from .formulas import (
+    fid_from_stats,
+    inception_score_from_probs,
+    kid_from_features,
+    ppl_from_distances,
+    precision_recall_from_features,
+    slerp,
+)
+from .metric_main import (
+    MetricOptions,
+    calc_metric,
+    is_valid_metric,
+    list_valid_metrics,
+    register_metric,
+    report_metric,
+)

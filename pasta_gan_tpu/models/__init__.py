@@ -11,13 +11,16 @@ from typing import Any, Callable, Dict
 
 from ..nn.discriminator import Discriminator
 from .generator_full import GeneratorFull, cat_feats_dict
+from .generator_v18 import GeneratorV18
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # canonical names
     "GeneratorFull": GeneratorFull,
+    "GeneratorV18": GeneratorV18,
     "Discriminator": Discriminator,
     # reference-style dotted names (training_options.json compatibility)
     "training.networks.GeneratorFull": GeneratorFull,
+    "training.networks.GeneratorV18": GeneratorV18,
     "training.networks.Discriminator": Discriminator,
 }
 

@@ -134,8 +134,16 @@ class ToRGBLayer(nn.Module):
 
 
 class ToRGBLayerFull(nn.Module):
-    """ToRGB with an extra 6-class parsing head on the final style block
-    (reference `networks.py:5582-5611`)."""
+    """ToRGB with an optional auxiliary head on the final style block.
+
+    head_mode:
+      "parsing6" — 6-class parsing logits head (Full cluster,
+                   reference `networks.py:5582-5611`),
+      "masks2"   — two 1-channel sigmoid masks (upper/lower, V18 cluster,
+                   reference `networks.py:5276-5310`),
+      None       — plain ToRGB.
+    The head is built only when is_last and is_style.
+    """
 
     in_channels: int
     out_channels: int
@@ -144,6 +152,7 @@ class ToRGBLayerFull(nn.Module):
     conv_clamp: Optional[float] = None
     is_last: bool = False
     is_style: bool = False
+    head_mode: Optional[str] = "parsing6"
     num_parsing_classes: int = 6
     dtype: Dtype = jnp.float32
 
@@ -158,18 +167,26 @@ class ToRGBLayerFull(nn.Module):
             * weight_gain
         )
 
-        pred_parsing = None
-        if self.is_last and self.is_style:
+        def _head(name_w, name_b, out_ch, act):
             m_weight = self.param(
-                "m_weight1",
+                name_w,
                 lambda key, s: jax.random.normal(key, s, jnp.float32),
-                (k, k, self.in_channels, self.num_parsing_classes),
+                (k, k, self.in_channels, out_ch),
             )
-            m_bias = self.param("m_bias1", nn.initializers.zeros, (self.num_parsing_classes,))
-            pred_parsing = modulated_conv2d(
+            m_bias = self.param(name_b, nn.initializers.zeros, (out_ch,))
+            y = modulated_conv2d(
                 x.astype(self.dtype), m_weight.astype(self.dtype), styles, demodulate=False
             )
-            pred_parsing = bias_act(pred_parsing, m_bias, axis=-1, clamp=self.conv_clamp)
+            return bias_act(y, m_bias, axis=-1, act=act, clamp=self.conv_clamp)
+
+        aux = None
+        if self.is_last and self.is_style:
+            if self.head_mode == "parsing6":
+                aux = _head("m_weight1", "m_bias1", self.num_parsing_classes, "linear")
+            elif self.head_mode == "masks2":
+                upper = _head("m_weight1", "m_bias1", 1, "sigmoid")
+                lower = _head("m_weight2", "m_bias2", 1, "sigmoid")
+                aux = (upper, lower)
 
         weight = self.param(
             "weight",
@@ -181,7 +198,7 @@ class ToRGBLayerFull(nn.Module):
             x.astype(self.dtype), weight.astype(self.dtype), styles, demodulate=False
         )
         x = bias_act(x, b, axis=-1, clamp=self.conv_clamp)
-        return x, pred_parsing
+        return x, aux
 
 
 class SynthesisBlockFull(nn.Module):
@@ -194,6 +211,7 @@ class SynthesisBlockFull(nn.Module):
     img_channels: int
     is_last: bool
     is_style: bool = False
+    head_mode: Optional[str] = "parsing6"
     architecture: str = "skip"
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
@@ -289,6 +307,7 @@ class SynthesisBlockFull(nn.Module):
                 conv_clamp=self.conv_clamp,
                 is_last=self.is_last,
                 is_style=self.is_style,
+                head_mode=self.head_mode,
                 dtype=self.dtype,
                 name="torgb",
             )(x, ws[:, w_idx])
@@ -309,6 +328,7 @@ class SynthesisNetworkFull(nn.Module):
     num_fp16_res: int = 0  # parity only; compute dtype governed by `dtype`
     conv_clamp: Optional[float] = None
     use_noise: bool = True
+    variant: str = "full"  # "full" (parsing head) | "v18" (upper/lower mask heads)
     dtype: Dtype = jnp.float32
 
     @property
@@ -335,6 +355,7 @@ class SynthesisNetworkFull(nn.Module):
             img_channels=self.img_channels,
             is_last=is_last,
             is_style=is_style,
+            head_mode="masks2" if self.variant == "v18" else "parsing6",
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             dtype=self.dtype,
@@ -383,6 +404,8 @@ class SynthesisNetworkFull(nn.Module):
         self.spade_b128_3 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
 
         res = resolutions[-1]
+        # V18's texture block builds (and discards) the mask heads, the Full
+        # cluster's does not (is_style=False) — keep shapes checkpoint-exact.
         self.texture_b256 = SynthesisBlockFull(
             in_channels=self.channels(res // 2),
             out_channels=self.channels(res),
@@ -390,7 +413,8 @@ class SynthesisNetworkFull(nn.Module):
             resolution=res,
             img_channels=self.img_channels,
             is_last=True,
-            is_style=False,
+            is_style=(self.variant == "v18"),
+            head_mode="masks2" if self.variant == "v18" else "parsing6",
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             dtype=self.dtype,
@@ -432,17 +456,22 @@ class SynthesisNetworkFull(nn.Module):
 
         x = img = None
         x_128 = img_128 = None
-        pred_parsing = None
+        aux = None
         for res, block, cur_ws in zip(resolutions, self.blocks, block_ws):
-            x, img, pred_parsing = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode=noise_mode)
+            x, img, aux = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode=noise_mode)
             if res == resolutions[-2]:
                 x_128, img_128 = x, img
 
-        # Parsing -> upper/lower masks (argmax is not differentiated; the
-        # reference detaches here too, networks.py:5822-5826).
-        parsing_idx = jnp.argmax(jax.lax.stop_gradient(pred_parsing), axis=-1)[..., None]
-        upper_mask = (parsing_idx == 1).astype(jnp.float32)
-        lower_mask = (parsing_idx == 2).astype(jnp.float32)
+        if self.variant == "v18":
+            # Direct predicted sigmoid masks (networks.py:5519-5520), detached.
+            upper_mask = jax.lax.stop_gradient(aux[0])
+            lower_mask = jax.lax.stop_gradient(aux[1])
+        else:
+            # Parsing -> upper/lower masks (argmax is not differentiated; the
+            # reference detaches here too, networks.py:5822-5826).
+            parsing_idx = jnp.argmax(jax.lax.stop_gradient(aux), axis=-1)[..., None]
+            upper_mask = (parsing_idx == 1).astype(jnp.float32)
+            lower_mask = (parsing_idx == 2).astype(jnp.float32)
 
         spade_upper = self.get_spade_feat(upper_mask, denorm_upper_mask, denorm_upper_input)
         spade_lower = self.get_spade_feat(lower_mask, denorm_lower_mask, denorm_lower_input)
@@ -455,4 +484,6 @@ class SynthesisNetworkFull(nn.Module):
         _, finetune_img, _ = self.texture_b256(
             h, img_128, block_ws[-1], pose_feat, cat_feat, noise_mode=noise_mode
         )
-        return img, finetune_img, pred_parsing
+        if self.variant == "v18":
+            return img, finetune_img, (upper_mask, lower_mask)
+        return img, finetune_img, aux

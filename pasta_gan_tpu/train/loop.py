@@ -1,0 +1,187 @@
+"""Training loop (reference `training/training_loop_wo_flow_fullbody.py:213-656`).
+
+Single program over a data mesh: host workers decode samples, the device does
+patch routing + the jitted train phases.  Phase schedule matches the
+reference: Gmain+Dmain every step (one fused jit), Dreg/R1 every
+d_reg_interval steps, EMA + w_avg + ADA controller inside the step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data.dataset import collate, prepare_train_batch
+from ..io.checkpoints import restore_train_state, save_snapshot, save_train_state
+from ..parallel import data_parallel_mesh, make_sharded_train_step, replicate, shard_batch
+from ..runtime.config import TrainConfig, to_json
+from ..runtime.stats import Collector, JsonlLogger
+from .step import GANTrainer
+
+
+class InfiniteLoader:
+    """Infinite shuffled host-side loader with a prefetch thread
+    (reference `misc.InfiniteSampler` + DataLoader workers)."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _indices(self):
+        rng = np.random.default_rng(self.seed)
+        n = len(self.dataset)
+        while True:
+            order = rng.permutation(n)
+            for i in order:
+                yield int(i)
+
+    def _worker(self):
+        it = self._indices()
+        while True:
+            samples = [self.dataset[next(it)] for _ in range(self.batch_size)]
+            self._q.put(collate(samples))
+
+    def __next__(self):
+        return self._q.get()
+
+
+def training_loop(
+    run_dir: str,
+    dataset,
+    config: TrainConfig,
+    total_kimg: Optional[int] = None,
+    mesh=None,
+    vgg_params=None,
+    resume: Optional[str] = None,
+    kimg_per_tick: Optional[int] = None,
+    snapshot_ticks: Optional[int] = None,
+    verbose: bool = True,
+    abort_fn=None,
+    progress_fn=None,
+):
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+        f.write(to_json(config))
+
+    total_kimg = total_kimg if total_kimg is not None else config.total_kimg
+    kimg_per_tick = kimg_per_tick or config.kimg_per_tick
+    snapshot_ticks = snapshot_ticks or config.network_snapshot_ticks
+
+    use_mesh = mesh is not None and len(mesh.devices.flatten()) > 1
+    axis_name = "data" if use_mesh else None
+    trainer = GANTrainer(config, vgg_params=vgg_params, axis_name=axis_name)
+
+    loader = InfiniteLoader(dataset, config.batch_size, seed=config.random_seed)
+    rng = jax.random.PRNGKey(config.random_seed)
+
+    # Init / resume.
+    host_batch = next(loader)
+    init_batch = jax.device_get(prepare_train_batch(host_batch, rng))
+    state = trainer.init_state(rng, {k: v[:1] for k, v in init_batch.items()})
+    if resume is not None:
+        state = restore_train_state(resume, state)
+        if verbose:
+            print(f'Resumed from "{resume}" at step {int(jax.device_get(state.step))}')
+
+    if use_mesh:
+        state = replicate(state, mesh)
+        step_fn = make_sharded_train_step(trainer.train_step, mesh)
+        r1_fn = make_sharded_train_step(trainer.d_r1_step, mesh)
+    else:
+        step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
+        r1_fn = jax.jit(trainer.d_r1_step, donate_argnums=(0,))
+
+    collector = Collector()
+    jsonl = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
+
+    cur_nimg = int(jax.device_get(state.step)) * config.batch_size
+    cur_tick = 0
+    tick_start_nimg = cur_nimg
+    start_time = time.time()
+    tick_start_time = start_time
+    batch_idx = 0
+    d_reg_interval = config.d_reg_interval or 0
+
+    if verbose:
+        print(f"Training for {total_kimg} kimg (batch {config.batch_size})...")
+
+    while True:
+        host_batch = next(loader)
+        rng, data_rng, step_rng, r1_rng = jax.random.split(rng, 4)
+        batch = prepare_train_batch(host_batch, data_rng)
+        if use_mesh:
+            batch = shard_batch(jax.device_get(batch), mesh)
+
+        state, stats = step_fn(state, batch, step_rng)
+        if d_reg_interval and (batch_idx % d_reg_interval == 0):
+            state, r1_stats = r1_fn(state, batch, r1_rng)
+            stats = {**stats, **r1_stats}
+        collector.report_dict(jax.device_get(stats))
+
+        cur_nimg += config.batch_size
+        batch_idx += 1
+
+        done = cur_nimg >= total_kimg * 1000
+        if abort_fn is not None and abort_fn():
+            done = True
+        if (not done) and (cur_tick != 0) and (cur_nimg < tick_start_nimg + kimg_per_tick * 1000):
+            continue
+
+        # ---- tick
+        tick_end = time.time()
+        collector.update()
+        sec_per_tick = tick_end - tick_start_time
+        sec_per_kimg = sec_per_tick / max((cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
+        if verbose:
+            print(
+                f"tick {cur_tick:<5d} kimg {cur_nimg / 1e3:<8.1f} "
+                f"time {tick_end - start_time:<8.1f}s sec/tick {sec_per_tick:<7.1f} "
+                f"sec/kimg {sec_per_kimg:<7.2f} "
+                f"augment {collector.mean('Progress/augment_p'):.3f} "
+                f"G/loss {collector.mean('Loss/G/loss'):.3f} "
+                f"D/loss {collector.mean('Loss/D/loss'):.3f}"
+            )
+        jsonl.write(
+            collector,
+            **{
+                "Progress/tick": cur_tick,
+                "Progress/kimg": cur_nimg / 1e3,
+                "Timing/sec_per_tick": sec_per_tick,
+                "Timing/sec_per_kimg": sec_per_kimg,
+                "Timing/total_sec": tick_end - start_time,
+            },
+        )
+        if progress_fn is not None:
+            progress_fn(cur_nimg // 1000, total_kimg)
+
+        if snapshot_ticks and (done or cur_tick % snapshot_ticks == 0) and cur_tick > 0:
+            snap_dir = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
+            save_snapshot(
+                snap_dir,
+                jax.device_get(state.g_ema_params),
+                jax.device_get(state.w_avg),
+                to_json(config),
+            )
+            save_train_state(os.path.join(run_dir, "train-state-latest"), state)
+            if verbose:
+                print(f"  saved {snap_dir}")
+
+        cur_tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start_time = time.time()
+        if done:
+            break
+
+    jsonl.close()
+    return state

@@ -1,0 +1,120 @@
+"""Metric formula tests: mathematical invariants + pipeline smoke."""
+
+import numpy as np
+
+from pasta_gan_tpu.metrics import (
+    FeatureStats,
+    MetricOptions,
+    calc_metric,
+    fid_from_stats,
+    inception_score_from_probs,
+    kid_from_features,
+    ppl_from_distances,
+    precision_recall_from_features,
+    slerp,
+)
+
+
+def test_fid_identity_is_zero():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 16))
+    mu, sigma = x.mean(0), np.cov(x, rowvar=False, bias=True)
+    assert abs(fid_from_stats(mu, sigma, mu, sigma)) < 1e-6
+
+    y = x + 3.0
+    mu2 = y.mean(0)
+    fid = fid_from_stats(mu, sigma, mu2, sigma)
+    np.testing.assert_allclose(fid, 9.0 * 16, rtol=1e-5)  # ||3||^2 per dim
+
+
+def test_feature_stats_mean_cov_matches_numpy():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    st = FeatureStats(capture_mean_cov=True)
+    for i in range(0, 300, 64):
+        st.append(x[i : i + 64])
+    mu, cov = st.get_mean_cov()
+    np.testing.assert_allclose(mu, x.mean(0), atol=1e-5)
+    np.testing.assert_allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-4)
+
+
+def test_feature_stats_max_items():
+    st = FeatureStats(capture_all=True, max_items=10)
+    st.append(np.ones((7, 4)))
+    st.append(np.ones((7, 4)))
+    assert st.num_items == 10 and st.get_all().shape == (10, 4)
+
+
+def test_kid_identity_near_zero_and_positive_for_shift():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    kid_same = kid_from_features(x, x.copy(), num_subsets=10, max_subset_size=200,
+                                 rng=np.random.default_rng(0))
+    # unbiased MMD estimator: slightly negative values are expected on
+    # identical sets with random subset sampling
+    assert abs(kid_same) < 0.1
+    y = x + 1.0
+    kid_diff = kid_from_features(x, y, num_subsets=10, max_subset_size=200,
+                                 rng=np.random.default_rng(0))
+    assert kid_diff > kid_same
+
+
+def test_inception_score_uniform_is_one():
+    probs = np.full((100, 10), 0.1)
+    mean, std = inception_score_from_probs(probs, num_splits=5)
+    np.testing.assert_allclose(mean, 1.0, atol=1e-6)
+
+    onehot = np.eye(10)[np.arange(100) % 10] * 0.999 + 1e-4
+    onehot /= onehot.sum(1, keepdims=True)
+    mean_sharp, _ = inception_score_from_probs(onehot, num_splits=5)
+    assert mean_sharp > 5.0
+
+
+def test_precision_recall_identical_sets():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    p, r = precision_recall_from_features(x, x.copy(), nhood_size=3)
+    assert p == 1.0 and r == 1.0
+    far = x + 100.0
+    p2, r2 = precision_recall_from_features(x, far, nhood_size=3)
+    assert p2 == 0.0 and r2 == 0.0
+
+
+def test_ppl_trimmed_mean():
+    # 1%-99% trim excludes the outlier tails only when they fall strictly
+    # outside the percentile bounds (needs enough mass).
+    # just-under-1% high outliers get trimmed (hi lands on a 1.0); zeros stay
+    # (dist >= lo with lo == 0) but barely move the mean.
+    d = np.concatenate([np.ones(9801), np.full(99, 1000.0), np.zeros(100)])
+    val = ppl_from_distances(d)
+    assert 0.9 < val < 1.1
+
+
+def test_slerp_endpoints():
+    rng = np.random.default_rng(4)
+    a = rng.standard_normal((5, 8))
+    b = rng.standard_normal((5, 8))
+    s0 = slerp(a, b, np.zeros((5, 1)))
+    np.testing.assert_allclose(s0, a / np.linalg.norm(a, axis=-1, keepdims=True), atol=1e-6)
+
+
+def test_calc_metric_pipeline_smoke():
+    rng = np.random.default_rng(5)
+    imgs_real = rng.integers(0, 255, (64, 32, 32, 3), dtype=np.uint8)
+    imgs_gen = rng.integers(0, 255, (64, 32, 32, 3), dtype=np.uint8)
+
+    def src(imgs):
+        def gen():
+            for i in range(0, len(imgs), 16):
+                yield imgs[i : i + 16]
+
+        return gen
+
+    res = calc_metric(
+        "fid50k_full", real_source=src(imgs_real), gen_source=src(imgs_gen), rng_seed=0
+    )
+    assert np.isfinite(res["results"]["fid50k_full"])
+    res_same = calc_metric(
+        "fid50k_full", real_source=src(imgs_real), gen_source=src(imgs_real), rng_seed=0
+    )
+    assert res_same["results"]["fid50k_full"] < res["results"]["fid50k_full"]
