@@ -1,0 +1,154 @@
+"""512x320 region-selectable try-on inference CLI (reference `test_512.py`).
+
+Same pipeline as cli/test at 512x320 (padded to 512x512), with
+`--change_region {fullbody,upperbody,lowerbody}` selecting which garment
+pieces are routed (reference `dataset.py:1679-1692`), and triptych output
+strips garment|person|result (`test_512.py:180-187`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .test import save_image
+
+# lower-body routing uses parts {0 (torso frame), 6..9 (legs)} (dataset.py:2023)
+LOWER_REGION_PARTS = (0, 6, 7, 8, 9)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--network", required=True)
+    p.add_argument("--dataroot", default=None)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--batchsize", type=int, default=8)
+    p.add_argument("--change_region", default="fullbody",
+                   choices=["fullbody", "upperbody", "lowerbody"])
+    p.add_argument("--truncation_psi", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    from ..data.dataset import (
+        SyntheticUvitonDataset,
+        UvitonDataset256Test,
+        collate,
+        prepare_tryon_batch,
+    )
+    from ..io.checkpoints import load_snapshot
+    from ..models import Generator512, cat_feats_dict
+
+    g_ema_params, w_avg, config = load_snapshot(args.network)
+    mc = config.get("model", {})
+    res = mc.get("img_resolution", 512)
+    gen = Generator512(
+        img_resolution=res,
+        channel_base=mc.get("channel_base", 32768),
+        channel_max=mc.get("channel_max", 512),
+        mapping_layers=mc.get("mapping_layers", 1),
+        conv_clamp=mc.get("conv_clamp", 256.0),
+        style_input_nc=mc.get("style_input_nc", 45),
+    )
+    w_avg = jnp.asarray(w_avg)
+
+    @jax.jit
+    def forward(batch):
+        stylecode, feats = gen.apply(
+            g_ema_params, batch["style_input"], batch["retain"], method=gen.encode_style
+        )
+        pose_feat = gen.apply(g_ema_params, batch["pose"], method=gen.encode_pose)
+        ws, _ = gen.apply(
+            g_ema_params, None, stylecode, w_avg=w_avg,
+            truncation_psi=args.truncation_psi, method=gen.map_ws,
+        )
+        img, finetune_img, _ = gen.apply(
+            g_ema_params, ws, pose_feat, cat_feats_dict(feats),
+            batch["denorm_upper_img"], batch["denorm_lower_img"],
+            batch["denorm_upper_mask"], batch["denorm_lower_mask"],
+            method=gen.synthesize, noise_mode="none",
+        )
+        return finetune_img
+
+    # 45-channel style stack = norm(30) + lower norm(15 of the 12+3 frame);
+    # built from the same routed patches as the 256 path.
+    if args.synthetic:
+        ds = SyntheticUvitonDataset(num_samples=args.synthetic, resolution=res)
+        pairs = [
+            (ds[i], ds[(i + 1) % len(ds)], f"s{i}.jpg", f"s{(i + 1) % len(ds)}.jpg")
+            for i in range(len(ds))
+        ]
+    else:
+        if args.dataroot is None:
+            raise SystemExit("--dataroot or --synthetic required")
+        tds = UvitonDataset256Test(args.dataroot)
+        pairs = [
+            (r["person"], r["garment"], r["person_name"], r["garment_name"])
+            for r in (tds[i] for i in range(len(tds)))
+        ]
+
+    B = args.batchsize
+    n_written = 0
+    for i in range(0, len(pairs), B):
+        chunk = pairs[i : i + B]
+        person = collate([c[0] for c in chunk])
+        garment = collate([c[1] for c in chunk])
+        batch = dict(prepare_tryon_batch(person, garment))
+
+        # region selection: zero out the garment channels that must not move
+        if args.change_region == "upperbody":
+            batch["denorm_lower_img"] = jnp.full_like(batch["denorm_lower_img"], -1.0)
+            batch["denorm_lower_mask"] = jnp.zeros_like(batch["denorm_lower_mask"])
+        elif args.change_region == "lowerbody":
+            batch["denorm_upper_img"] = jnp.full_like(batch["denorm_upper_img"], -1.0)
+            batch["denorm_upper_mask"] = jnp.zeros_like(batch["denorm_upper_mask"])
+
+        # style stack: 42ch routed -> pad/crop to the 45-channel 512 layout
+        style = batch["style_input"]
+        if style.shape[-1] < 45:
+            style = jnp.concatenate(
+                [style, jnp.full(style.shape[:-1] + (45 - style.shape[-1],), -1.0, style.dtype)],
+                axis=-1,
+            )
+        batch["style_input"] = style[..., :45]
+
+        # inputs may be produced at 256 (synthetic fixture); scale to model res
+        if batch["pose"].shape[1] != res:
+            batch = {
+                k: (
+                    jax.image.resize(v, (v.shape[0], res, res, v.shape[-1]), "nearest")
+                    if v.ndim == 4
+                    else v
+                )
+                for k, v in batch.items()
+            }
+
+        out = np.asarray(jax.device_get(forward(batch)), np.float32)
+        g_img = np.asarray(garment["image"], np.float32) / 127.5 - 1.0
+        p_img = np.asarray(jax.device_get(batch["person_img"]), np.float32)
+        for j, (_, _, pname, gname) in enumerate(chunk):
+            # un-pad square canvas back to the 512x320 aspect (96/512 each side)
+            W = out.shape[2]
+            crop = slice((W * 96) // 512, (W * (512 - 96)) // 512)
+            gj = g_img[j]
+            if gj.shape[0] != out.shape[1]:
+                gj = np.asarray(
+                    jax.image.resize(jnp.asarray(gj), (out.shape[1], W, 3), "nearest")
+                )
+            strip = np.concatenate(
+                [gj[:, crop], p_img[j][:, crop], out[j][:, crop]], axis=1
+            )
+            name = f"{os.path.basename(pname).split('.')[0]}__{os.path.basename(gname).split('.')[0]}.png"
+            save_image(strip, os.path.join(args.outdir, name))
+            n_written += 1
+    print(f"wrote {n_written} triptychs to {args.outdir}")
+
+
+if __name__ == "__main__":
+    main()

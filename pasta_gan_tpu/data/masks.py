@@ -60,7 +60,14 @@ def parsing_masks(parsing: np.ndarray) -> dict:
 
 
 def _fill_polygon(points: np.ndarray, img_h: int, img_w: int) -> np.ndarray:
-    """Binary polygon fill [H, W, 1] float32 (replaces pycocotools frPyObjects)."""
+    """Binary polygon fill [H, W, 1] float32 (replaces pycocotools frPyObjects).
+
+    Prefers the native C++ kernel (pasta_gan_tpu/native), then cv2, then numpy.
+    """
+    from .. import native as _native
+
+    if _native.available():
+        return _native.fill_polygon(np.asarray(points, np.float64), img_h, img_w)[..., None]
     if _HAS_CV2:
         mask = np.zeros((img_h, img_w), np.uint8)
         cv2.fillPoly(mask, [points.round().astype(np.int32)], 1)
@@ -84,7 +91,14 @@ def _fill_polygon(points: np.ndarray, img_h: int, img_w: int) -> np.ndarray:
 
 
 def _dilate(mask: np.ndarray, ksize: int) -> np.ndarray:
-    """Binary dilation with a ksize x ksize box (cv2.dilate equivalent)."""
+    """Binary dilation with a ksize x ksize box (cv2.dilate equivalent).
+
+    Prefers the native C++ kernel, then cv2, then numpy sliding windows.
+    """
+    from .. import native as _native
+
+    if _native.available():
+        return _native.dilate_box(mask, ksize)
     if _HAS_CV2:
         kernel = np.ones((ksize, ksize), np.uint8)
         out = cv2.dilate(mask.astype(np.float32), kernel, iterations=1)

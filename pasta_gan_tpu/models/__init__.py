@@ -12,15 +12,20 @@ from typing import Any, Callable, Dict
 from ..nn.discriminator import Discriminator
 from .generator_full import GeneratorFull, cat_feats_dict
 from .generator_v18 import GeneratorV18
+from .generator_512 import Generator512, Generator512Plain
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # canonical names
     "GeneratorFull": GeneratorFull,
     "GeneratorV18": GeneratorV18,
+    "Generator512": Generator512,
+    "Generator512Plain": Generator512Plain,
     "Discriminator": Discriminator,
     # reference-style dotted names (training_options.json compatibility)
     "training.networks.GeneratorFull": GeneratorFull,
     "training.networks.GeneratorV18": GeneratorV18,
+    "training.networks.Generator_512": Generator512Plain,
+    "training.networks.Generator_512_v2": Generator512Plain,
     "training.networks.Discriminator": Discriminator,
 }
 
@@ -39,6 +44,9 @@ def build_model(class_name: str, **kwargs):
 
 __all__ = [
     "GeneratorFull",
+    "GeneratorV18",
+    "Generator512",
+    "Generator512Plain",
     "Discriminator",
     "MODEL_REGISTRY",
     "register_model",

@@ -105,6 +105,7 @@ class StyleEncoderNetworkV16(nn.Module):
     output_nc: int = 512
     ngf: int = 64
     use_attention: bool = False  # True reproduces StyleEncoderNetwork (networks.py:647-698)
+    extra_convs: int = 3  # 0 reproduces StyleEncoderNetwork_512 (networks.py:3731-3754)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +125,7 @@ class StyleEncoderNetworkV16(nn.Module):
             x = Conv2dLayer(
                 ngf * mult_ins[i], ngf * mult_outs[i], 3, down=2, dtype=self.dtype, name=f"down{i}"
             )(x)
-        for i in range(3):
+        for i in range(self.extra_convs):
             x = DenseNorm(ngf * 8, ngf * 8, dtype=self.dtype, name=f"dense{i + 3}")(x)
             x = Conv2dLayer(ngf * 8, ngf * 8, 3, dtype=self.dtype, name=f"conv{i + 3}")(x)
 

@@ -212,6 +212,7 @@ class SynthesisBlockFull(nn.Module):
     is_last: bool
     is_style: bool = False
     head_mode: Optional[str] = "parsing6"
+    merge_min_res: int = 16  # cat_feat merge when resolution > this (512 cluster: 32)
     architecture: str = "skip"
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
@@ -283,7 +284,7 @@ class SynthesisBlockFull(nn.Module):
                 x, ws[:, w_idx], noise_mode=noise_mode
             )
             w_idx += 1
-            if self.resolution > 16:
+            if self.resolution > self.merge_min_res:
                 feat = cat_feat[str(self.resolution)].astype(self.dtype)
                 x = jnp.concatenate([x, feat], axis=-1)
                 x = Conv2dLayer(
@@ -329,12 +330,14 @@ class SynthesisNetworkFull(nn.Module):
     conv_clamp: Optional[float] = None
     use_noise: bool = True
     variant: str = "full"  # "full" (parsing head) | "v18" (upper/lower mask heads)
+    start_res: int = 4  # the 512 cluster starts its pyramid at 8 (networks.py:3696)
+    merge_min_res: int = 16
     dtype: Dtype = jnp.float32
 
     @property
     def block_resolutions(self):
         n = int(math.log2(self.img_resolution))
-        return [2**i for i in range(2, n + 1)]
+        return [2**i for i in range(int(math.log2(self.start_res)), n + 1)]
 
     def channels(self, res: int) -> int:
         return min(self.channel_base // res, self.channel_max)
@@ -343,12 +346,12 @@ class SynthesisNetworkFull(nn.Module):
     def num_ws(self) -> int:
         total = 0
         for res in self.block_resolutions:
-            total += 1 if res == 4 else 2
+            total += 1 if res == self.start_res else 2
         return total + 1  # + last block's torgb
 
     def _block(self, res: int, is_last: bool, is_style: bool, name: str) -> SynthesisBlockFull:
         return SynthesisBlockFull(
-            in_channels=self.channels(res // 2) if res > 4 else 0,
+            in_channels=self.channels(res // 2) if res > self.start_res else 0,
             out_channels=self.channels(res),
             w_dim=self.w_dim,
             resolution=res,
@@ -356,6 +359,7 @@ class SynthesisNetworkFull(nn.Module):
             is_last=is_last,
             is_style=is_style,
             head_mode="masks2" if self.variant == "v18" else "parsing6",
+            merge_min_res=self.merge_min_res,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             dtype=self.dtype,
@@ -415,6 +419,7 @@ class SynthesisNetworkFull(nn.Module):
             is_last=True,
             is_style=(self.variant == "v18"),
             head_mode="masks2" if self.variant == "v18" else "parsing6",
+            merge_min_res=self.merge_min_res,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             dtype=self.dtype,

@@ -57,21 +57,20 @@ def test_prepare_tryon_batch():
 
 
 def test_train_batch_drives_generator():
-    from pasta_gan_tpu.runtime.config import AdaConfig, LossConfig, ModelConfig, TrainConfig
-    from pasta_gan_tpu.train.step import GANTrainer
+    """The routed device batch feeds the 256px generator forward cleanly
+    (training-step coverage at tiny shapes lives in test_train.py)."""
+    from pasta_gan_tpu.models import GeneratorFull
 
     ds = SyntheticUvitonDataset(num_samples=2)
     host = collate([ds[0], ds[1]])
-    batch = {k: np.asarray(v) for k, v in prepare_train_batch(host, jax.random.PRNGKey(0)).items()}
+    batch = prepare_train_batch(host, jax.random.PRNGKey(0))
 
-    cfg = TrainConfig(
-        model=ModelConfig(img_resolution=256, channel_base=512, channel_max=32,
-                          mbstd_group_size=2, mapping_layers=1),
-        loss=LossConfig(vgg_weight=0.0),
-        ada=AdaConfig(enabled=False),
-        batch_size=2,
-    )
-    trainer = GANTrainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    state1, stats = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(1))
-    assert all(np.all(np.isfinite(np.asarray(v))) for v in stats.values())
+    gen = GeneratorFull(img_resolution=256, channel_base=512, channel_max=32)
+    args = (None, batch["style_input"], batch["retain"], batch["pose"],
+            batch["denorm_upper_img"], batch["denorm_lower_img"],
+            batch["denorm_upper_mask"], batch["denorm_lower_mask"])
+    v = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+                 *args, noise_mode="none")
+    img, ft, parsing = gen.apply(v, *args, noise_mode="none")
+    assert img.shape == (2, 256, 256, 3)
+    assert np.all(np.isfinite(np.asarray(ft)))

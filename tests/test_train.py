@@ -28,12 +28,12 @@ from pasta_gan_tpu.runtime.config import (
 from pasta_gan_tpu.train.step import GANTrainer
 
 
-def tiny_config(res=32, vgg=False):
+def tiny_config(res=16, vgg=False):
     return TrainConfig(
         model=ModelConfig(
             img_resolution=res,
-            channel_base=512,
-            channel_max=64,
+            channel_base=256,
+            channel_max=32,
             mbstd_group_size=2,
             mapping_layers=1,
         ),
@@ -125,56 +125,42 @@ def test_train_step_data_parallel_8dev():
 def test_dp_grads_equal_mean_of_shard_grads():
     """shard_map + pmean grads == the mean of per-shard grads computed by hand.
 
-    Per-shard semantics (mbstd over the local batch, per-shard CE
-    normalization) intentionally match the reference's per-GPU behavior, so
-    the correct invariant is equality with a manual shard loop, not with a
-    single global-batch evaluation.
+    The invariant is about the collective plumbing, not the model, so a small
+    discriminator loss keeps this fast; the full train step's DP integration
+    is covered by test_train_step_data_parallel_8dev.
     """
     from jax.sharding import PartitionSpec as P
 
+    from pasta_gan_tpu.models import Discriminator
+
     shard_map = jax.shard_map
-
-    cfg = tiny_config()
-    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, use_noise=False))
-    res = cfg.model.img_resolution
-    n_dev = 2  # submesh keeps the manual shard loop cheap
-    batch = synth_batch(3, n_dev, res)
-    rng = jax.random.PRNGKey(7)
-
-    trainer = GANTrainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-
-    # Manual per-shard grads, averaged.
-    shard_grads = []
-    for d in range(n_dev):
-        shard = {k: v[d : d + 1] for k, v in batch.items()}
-        (_, _), g = jax.value_and_grad(trainer.g_loss_fn, has_aux=True)(
-            state.g_params, state.d_params, shard, state.ada_p, rng
-        )
-        shard_grads.append(g)
-    grads_manual = jax.tree_util.tree_map(
-        lambda *xs: sum(xs) / len(xs), *shard_grads
+    n_dev = 2
+    res = 16
+    disc = Discriminator(
+        c_dim=0, img_resolution=res, img_channels=3, channel_base=256,
+        channel_max=32, mbstd_group_size=1,
     )
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (n_dev * 2, res, res, 3))
+    params = disc.init(jax.random.PRNGKey(1), imgs, None)
 
-    # shard_map grads with pmean (same fixed rng on every shard).
+    def loss_fn(params, imgs):
+        return jnp.mean(jax.nn.softplus(disc.apply(params, imgs, None)))
+
+    shard_grads = [
+        jax.grad(loss_fn)(params, imgs[d * 2 : (d + 1) * 2]) for d in range(n_dev)
+    ]
+    grads_manual = jax.tree_util.tree_map(lambda *xs: sum(xs) / len(xs), *shard_grads)
+
     mesh = data_parallel_mesh(jax.devices()[:n_dev])
 
-    def inner(g_params, d_params, batch, ada_p):
-        (_, _), grads = jax.value_and_grad(trainer.g_loss_fn, has_aux=True)(
-            g_params, d_params, batch, ada_p, rng
-        )
-        return jax.lax.pmean(grads, "data")
+    def inner(params, imgs):
+        return jax.lax.pmean(jax.grad(loss_fn)(params, imgs), "data")
 
     grads_dp = shard_map(
-        inner,
-        mesh=mesh,
-        in_specs=(P(), P(), P("data"), P()),
-        out_specs=P(),
-        check_vma=False,
-    )(state.g_params, state.d_params, batch, state.ada_p)
+        inner, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(), check_vma=False
+    )(params, imgs)
 
     for a, b in zip(
         jax.tree_util.tree_leaves(grads_manual), jax.tree_util.tree_leaves(grads_dp)
     ):
-        # fp32 reduction-order noise: compare with a scale-aware tolerance.
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
