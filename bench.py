@@ -87,6 +87,17 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
+    # Guard against the axon relay's unreliable completion barrier (see
+    # .claude/skills/verify/SKILL.md): if the queued measurement is physically
+    # implausible (model is ~364 GFLOP/img; < 1 ms/img is impossible), fall
+    # back to forced per-iteration scalar readbacks.
+    if dt / ITERS < BATCH * 1e-3:
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = forward(*args)
+            float(jnp.sum(out))  # true completion barrier (scalar readback)
+        dt = time.perf_counter() - t0
+
     imgs_per_sec = BATCH * ITERS / dt
     print(
         json.dumps(

@@ -105,6 +105,52 @@ def training_loop(
     collector = Collector()
     jsonl = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
 
+    # Optional TensorBoard events (reference training loop :402-405,632-639).
+    tb_writer = None
+    try:
+        import tensorflow as _tf
+
+        tb_writer = _tf.summary.create_file_writer(run_dir)
+    except Exception:
+        pass
+
+    # Fixed snapshot batch for visual-regression grids (reference
+    # setup_snapshot_image_grid, training loop :109-178,579-584).
+    grid_n = min(16, config.batch_size, len(dataset))
+    snap_host = collate([dataset[i] for i in range(grid_n)])
+    snap_batch = jax.device_get(prepare_train_batch(snap_host, jax.random.PRNGKey(1234)))
+    from ..utils import save_image_grid
+
+    save_image_grid(snap_batch["real_img"], os.path.join(run_dir, "reals.png"))
+    save_image_grid(
+        snap_batch["denorm_upper_img"], os.path.join(run_dir, "init_denorm_upper.png")
+    )
+    save_image_grid(
+        snap_batch["denorm_lower_img"], os.path.join(run_dir, "init_denorm_lower.png")
+    )
+    save_image_grid(snap_batch["retain"], os.path.join(run_dir, "init_retain.png"))
+
+    _snapshot_forward = None
+
+    def save_fake_grid(state, tag):
+        nonlocal _snapshot_forward
+        if _snapshot_forward is None:
+            gen = trainer.gen
+
+            @jax.jit
+            def fwd(g_params, b):
+                img, ft, _ = gen.apply(
+                    g_params, None, b["style_input"], b["retain"], b["pose"],
+                    b["denorm_upper_img"], b["denorm_lower_img"],
+                    b["denorm_upper_mask"], b["denorm_lower_mask"],
+                    noise_mode="const", rngs={"noise": jax.random.PRNGKey(0)},
+                )
+                return ft
+
+            _snapshot_forward = fwd
+        fakes = jax.device_get(_snapshot_forward(state.g_ema_params, snap_batch))
+        save_image_grid(fakes, os.path.join(run_dir, f"fakes{tag}.png"))
+
     cur_nimg = int(jax.device_get(state.step)) * config.batch_size
     cur_tick = 0
     tick_start_nimg = cur_nimg
@@ -162,8 +208,20 @@ def training_loop(
                 "Timing/total_sec": tick_end - start_time,
             },
         )
+        if tb_writer is not None:
+            with tb_writer.as_default():
+                import tensorflow as _tf
+
+                for name in collector.names():
+                    _tf.summary.scalar(name, collector.mean(name), step=cur_nimg)
+                _tf.summary.scalar("Timing/sec_per_kimg", sec_per_kimg, step=cur_nimg)
+            tb_writer.flush()
         if progress_fn is not None:
             progress_fn(cur_nimg // 1000, total_kimg)
+
+        img_ticks = config.image_snapshot_ticks
+        if img_ticks and (done or cur_tick % img_ticks == 0):
+            save_fake_grid(state, f"{cur_nimg // 1000:06d}")
 
         if snapshot_ticks and (done or cur_tick % snapshot_ticks == 0) and cur_tick > 0:
             snap_dir = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")

@@ -104,6 +104,9 @@ class GANTrainer:
         m = self.config.model
         g_rng, d_rng, noise_rng = jax.random.split(rng, 3)
         z = None if m.z_dim == 0 else jnp.zeros((batch["real_img"].shape[0], m.z_dim))
+        # init with noise_mode="const" so the noise_const buffers exist in the
+        # variables (training's "random" mode ignores them; snapshot grids use
+        # "const" like the reference, training loop :579-584).
         g_params = self.gen.init(
             {"params": g_rng, "noise": noise_rng},
             z,
@@ -114,6 +117,7 @@ class GANTrainer:
             batch["denorm_lower_img"],
             batch["denorm_upper_mask"],
             batch["denorm_lower_mask"],
+            noise_mode="const",
         )
         d_params = self.disc.init(
             d_rng, batch["real_img"], jnp.zeros((batch["real_img"].shape[0], m.c_dim))
@@ -208,11 +212,21 @@ class GANTrainer:
             loss_vgg = vgg_perceptual_loss(self.vgg_params, img, real_img) * cfg.vgg_weight
             loss_vgg_ft = vgg_perceptual_loss(self.vgg_params, ft_img, real_img) * cfg.vgg_weight
 
+        loss_ctx = 0.0
+        if cfg.contextual_weight > 0 and self.vgg_params is not None:
+            from .vgg import contextual_vgg_loss
+
+            loss_ctx = (
+                contextual_vgg_loss(self.vgg_params, ft_img, real_img)
+                * cfg.contextual_weight
+            )
+
         total = (
             (loss_gan + loss_gan_ft) / 2
             + (loss_l1 + loss_l1_ft) / 2
             + (loss_vgg + loss_vgg_ft) / 2
             + loss_mask
+            + loss_ctx
         )
         stats = {
             "Loss/G/loss": loss_gan,
@@ -222,6 +236,7 @@ class GANTrainer:
             "Loss/G/vgg": loss_vgg,
             "Loss/G/vgg_finetune": loss_vgg_ft,
             "Loss/G/mask_loss": loss_mask,
+            "Loss/G/contextual": loss_ctx,
             "Loss/scores/fake": jnp.mean(gen_logits),
             "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits)),
         }

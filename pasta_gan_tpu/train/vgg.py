@@ -32,13 +32,17 @@ _VGG19_PLAN: List[Any] = [
 ]
 
 # Indices (in conv order, 0-based) after whose relu we tap features:
-# relu1_1, relu2_1, relu3_1, relu4_1, relu5_1.
+# relu1_1, relu2_1, relu3_1, relu4_1, relu5_1 (the perceptual-loss slices).
 _TAP_AFTER_CONV = (0, 2, 4, 8, 12)
+# relu1_2, relu2_2, relu3_2, relu4_2, relu5_2 (the contextual-loss taps,
+# reference loss file :71 `['r12','r22','r32','r42','r52']`).
+CONTEXTUAL_TAPS = (1, 3, 5, 9, 13)
 
 
 class VGG19Features(nn.Module):
-    """Runs the VGG19 conv stack, returning the 5 tapped feature maps (NHWC)."""
+    """Runs the VGG19 conv stack, returning the tapped feature maps (NHWC)."""
 
+    taps: Tuple[int, ...] = _TAP_AFTER_CONV
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,12 +55,35 @@ class VGG19Features(nn.Module):
                 continue
             x = nn.Conv(item, (3, 3), padding=1, dtype=self.dtype, name=f"conv{conv_idx}")(x)
             x = jax.nn.relu(x)
-            if conv_idx in _TAP_AFTER_CONV:
+            if conv_idx in self.taps:
                 taps.append(x)
             conv_idx += 1
-            if len(taps) == len(_TAP_AFTER_CONV) and conv_idx > max(_TAP_AFTER_CONV):
+            if len(taps) == len(self.taps) and conv_idx > max(self.taps):
                 break
         return tuple(taps)
+
+
+def vgg_preprocess_bgr_caffe(x: jax.Array) -> jax.Array:
+    """[-1,1] RGB -> caffe-style BGR*255 (reference loss file :406-415),
+    for the contextual-loss VGG."""
+    x = (x + 1.0) / 2.0
+    bgr = x[..., ::-1]
+    mean = jnp.asarray([0.40760392, 0.45795686, 0.48501961], x.dtype)
+    return (bgr - mean) * 255.0
+
+
+def contextual_vgg_loss(vgg_params, x: jax.Array, y: jax.Array, h: float = 0.1,
+                        dtype=jnp.float32) -> jax.Array:
+    """CX loss summed over the r12..r52 taps (reference loss file :404-541)."""
+    from .losses import contextual_loss
+
+    model = VGG19Features(taps=CONTEXTUAL_TAPS, dtype=dtype)
+    fx = model.apply(vgg_params, vgg_preprocess_bgr_caffe(x))
+    fy = model.apply(vgg_params, vgg_preprocess_bgr_caffe(jax.lax.stop_gradient(y)))
+    total = 0.0
+    for a, b in zip(fx, fy):
+        total = total + contextual_loss(a, jax.lax.stop_gradient(b), h=h)
+    return total
 
 
 VGG_SLICE_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
@@ -75,8 +102,12 @@ def vgg_perceptual_loss(vgg_params, x: jax.Array, y: jax.Array, dtype=jnp.float3
 
 
 def init_vgg19(rng: jax.Array, image_size: int = 64):
-    """He-initialized VGG19 params (fallback when no torch checkpoint exists)."""
-    model = VGG19Features()
+    """He-initialized VGG19 params (fallback when no torch checkpoint exists).
+
+    Initialized through the deeper contextual tap set so the same params serve
+    both the perceptual (conv0..12) and contextual (conv0..13) feature stacks.
+    """
+    model = VGG19Features(taps=CONTEXTUAL_TAPS)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     return model.init(rng, dummy)
 
