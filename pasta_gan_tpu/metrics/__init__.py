@@ -10,6 +10,7 @@ from .formulas import (
     precision_recall_from_features,
     slerp,
 )
+from .ppl import center_crop_for_ppl, compute_ppl, vgg_feature_distance
 from .metric_main import (
     MetricOptions,
     calc_metric,

@@ -1,0 +1,82 @@
+"""Perceptual Path Length sampler (reference `metrics/perceptual_path_length.py`).
+
+The reference perturbs latents and measures LPIPS (VGG16) distance per unit
+step.  This framework's generators are conditioned on style codes rather than
+free latents (z_dim=0 in the config of record), so PPL is computed in
+**w-space between the mapped codes of two data samples** (`sampling='end'`
+uses t=0, `'full'` t~U(0,1); reference ppl2_wend == w-space, full-path,
+epsilon 1e-4, crop).  The distance network is pluggable; without the
+reference's proprietary LPIPS-VGG16 weights we default to a feature-space L2
+over the framework's VGG19 taps (documented substitution — comparable
+relative orderings, different absolute scale).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .formulas import ppl_from_distances
+
+
+def center_crop_for_ppl(img: jnp.ndarray) -> jnp.ndarray:
+    """The reference's face-region crop (ppl.py:141-144): rows 3/8..7/8,
+    cols 2/8..6/8 of a square image; NHWC."""
+    H = img.shape[1]
+    c = H // 8
+    return img[:, c * 3 : c * 7, c * 2 : c * 6, :]
+
+
+def vgg_feature_distance(vgg_params):
+    """Squared feature distance per sample using the VGG19 perceptual taps."""
+    from ..train.vgg import VGG19Features
+
+    model = VGG19Features()
+
+    @jax.jit
+    def dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        fa = model.apply(vgg_params, a)
+        fb = model.apply(vgg_params, b)
+        total = 0.0
+        for x, y in zip(fa, fb):
+            total = total + jnp.mean(jnp.square(x - y), axis=(1, 2, 3))
+        return total
+
+    return dist
+
+
+def compute_ppl(
+    synthesize_from_ws: Callable[[jnp.ndarray], jnp.ndarray],  # ws -> [-1,1] NHWC images
+    ws_pair_source: Iterable,  # yields (ws0, ws1) [B, num_ws, w_dim]
+    distance_fn: Callable,
+    num_samples: int = 2000,
+    epsilon: float = 1e-4,
+    sampling: str = "end",
+    crop: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> float:
+    assert sampling in ("full", "end")
+    rng = rng or np.random.default_rng(0)
+    dists = []
+    n = 0
+    for ws0, ws1 in ws_pair_source:
+        B = ws0.shape[0]
+        t = rng.uniform(size=(B, 1, 1)) if sampling == "full" else np.zeros((B, 1, 1))
+        t = jnp.asarray(t, ws0.dtype)
+        wt0 = ws0 + (ws1 - ws0) * t
+        wt1 = ws0 + (ws1 - ws0) * (t + epsilon)
+        img0 = synthesize_from_ws(wt0)
+        img1 = synthesize_from_ws(wt1)
+        if crop:
+            img0, img1 = center_crop_for_ppl(img0), center_crop_for_ppl(img1)
+        # scale to the reference's [0,255] convention before the distance net
+        d = distance_fn((img0 + 1) * 127.5, (img1 + 1) * 127.5) / (epsilon**2)
+        dists.append(np.asarray(d))
+        n += B
+        if n >= num_samples:
+            break
+    return ppl_from_distances(np.concatenate(dists)[:num_samples])

@@ -118,3 +118,31 @@ def test_calc_metric_pipeline_smoke():
         "fid50k_full", real_source=src(imgs_real), gen_source=src(imgs_real), rng_seed=0
     )
     assert res_same["results"]["fid50k_full"] < res["results"]["fid50k_full"]
+
+
+def test_ppl_sampler_identity_pairs_near_zero():
+    """Identical ws pairs => zero path length; distinct pairs => positive."""
+    import jax
+    import jax.numpy as jnp
+
+    from pasta_gan_tpu.metrics import compute_ppl
+
+    def synth(ws):
+        # toy 'generator': broadcast ws into an image deterministically
+        B = ws.shape[0]
+        base = jnp.tanh(ws[:, 0, :64])
+        img = jnp.tile(base[:, None, None, :], (1, 32, 32, 1))[..., :3]
+        return img
+
+    def dist(a, b):
+        return jnp.mean(jnp.square(a - b), axis=(1, 2, 3))
+
+    rngk = jax.random.PRNGKey(0)
+    ws = jax.random.normal(rngk, (8, 4, 128))
+
+    same = compute_ppl(synth, [(ws, ws)], dist, num_samples=8, crop=False)
+    assert same == 0.0
+
+    ws2 = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 128))
+    diff = compute_ppl(synth, [(ws, ws2)], dist, num_samples=8, crop=False)
+    assert diff > 0.0
