@@ -19,6 +19,8 @@ Block wiring notes preserved from the reference:
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -167,38 +169,50 @@ class ToRGBLayerFull(nn.Module):
             * weight_gain
         )
 
-        def _head(name_w, name_b, out_ch, act):
+        # All heads share the input and styles and are demodulation-free 1x1
+        # modconvs, so they fuse into ONE conv with output-channel-concatenated
+        # weights (mathematically identical; per-head bias_act applied after).
+        def head_param(name_w, name_b, out_ch):
             m_weight = self.param(
                 name_w,
                 lambda key, s: jax.random.normal(key, s, jnp.float32),
                 (k, k, self.in_channels, out_ch),
             )
             m_bias = self.param(name_b, nn.initializers.zeros, (out_ch,))
-            y = modulated_conv2d(
-                x.astype(self.dtype), m_weight.astype(self.dtype), styles, demodulate=False
-            )
-            return bias_act(y, m_bias, axis=-1, act=act, clamp=self.conv_clamp)
+            return m_weight, m_bias
 
-        aux = None
+        weight, b = head_param("weight", "bias", self.out_channels)
+        weights = [weight]
+        splits = [self.out_channels]
+        head_acts = []
         if self.is_last and self.is_style:
             if self.head_mode == "parsing6":
-                aux = _head("m_weight1", "m_bias1", self.num_parsing_classes, "linear")
+                mw, mb = head_param("m_weight1", "m_bias1", self.num_parsing_classes)
+                weights.append(mw)
+                splits.append(self.num_parsing_classes)
+                head_acts.append((mb, "linear"))
             elif self.head_mode == "masks2":
-                upper = _head("m_weight1", "m_bias1", 1, "sigmoid")
-                lower = _head("m_weight2", "m_bias2", 1, "sigmoid")
-                aux = (upper, lower)
+                for name_w, name_b in (("m_weight1", "m_bias1"), ("m_weight2", "m_bias2")):
+                    mw, mb = head_param(name_w, name_b, 1)
+                    weights.append(mw)
+                    splits.append(1)
+                    head_acts.append((mb, "sigmoid"))
 
-        weight = self.param(
-            "weight",
-            lambda key, s: jax.random.normal(key, s, jnp.float32),
-            (k, k, self.in_channels, self.out_channels),
+        fused = jnp.concatenate(weights, axis=-1) if len(weights) > 1 else weights[0]
+        y = modulated_conv2d(
+            x.astype(self.dtype), fused.astype(self.dtype), styles, demodulate=False
         )
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        x = modulated_conv2d(
-            x.astype(self.dtype), weight.astype(self.dtype), styles, demodulate=False
-        )
-        x = bias_act(x, b, axis=-1, clamp=self.conv_clamp)
-        return x, aux
+        offs = np.cumsum(splits)
+        img = bias_act(y[..., : offs[0]], b, axis=-1, clamp=self.conv_clamp)
+
+        aux = None
+        if head_acts:
+            outs = [
+                bias_act(y[..., offs[i] : offs[i + 1]], mb, axis=-1, act=act, clamp=self.conv_clamp)
+                for i, (mb, act) in enumerate(head_acts)
+            ]
+            aux = outs[0] if len(outs) == 1 else tuple(outs)
+        return img, aux
 
 
 class SynthesisBlockFull(nn.Module):
@@ -368,7 +382,12 @@ class SynthesisNetworkFull(nn.Module):
 
     def get_spade_feat(self, mask: jax.Array, denorm_mask: jax.Array, denorm_input: jax.Array):
         """Fill person-visible-but-garment-missing regions with the average of
-        valid denorm features (reference `networks.py:5777-5800`).  NHWC."""
+        valid denorm features (reference `networks.py:5777-5800`).  NHWC.
+
+        `mask`/`denorm_mask`/`denorm_input` may be the upper and lower branches
+        stacked along the batch dim (one spade_encoder pass instead of two —
+        mathematically identical since all statistics are per-sample).
+        """
         spade_encoder = self.spade_encoder  # bound submodule (see setup)
         mask = (mask > 0.9).astype(denorm_input.dtype)
         # F.interpolate(scale_factor=0.5) nearest == stride-2 subsample.
@@ -478,9 +497,14 @@ class SynthesisNetworkFull(nn.Module):
             upper_mask = (parsing_idx == 1).astype(jnp.float32)
             lower_mask = (parsing_idx == 2).astype(jnp.float32)
 
-        spade_upper = self.get_spade_feat(upper_mask, denorm_upper_mask, denorm_upper_input)
-        spade_lower = self.get_spade_feat(lower_mask, denorm_lower_mask, denorm_lower_input)
-        spade_feat = jnp.concatenate([spade_upper, spade_lower], axis=-1)
+        # one spade_encoder pass over both branches (batch-stacked)
+        N = denorm_upper_input.shape[0]
+        spade_both = self.get_spade_feat(
+            jnp.concatenate([upper_mask, lower_mask], axis=0),
+            jnp.concatenate([denorm_upper_mask, denorm_lower_mask], axis=0),
+            jnp.concatenate([denorm_upper_input, denorm_lower_input], axis=0),
+        )
+        spade_feat = jnp.concatenate([spade_both[:N], spade_both[N:]], axis=-1)
 
         h = self.spade_b128_1(x_128, spade_feat)
         h = self.spade_b128_2(h, spade_feat)
