@@ -15,6 +15,7 @@ batch 16, fp16; documented in BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -32,6 +33,8 @@ ITERS = 20
 
 
 def main():
+    """Set PASTA_PROFILE_DIR to also capture a jax.profiler trace of the
+    timed region (SURVEY.md section 5.1 tracing equivalent)."""
     from pasta_gan_tpu.models import GeneratorFull
 
     gen = GeneratorFull(
@@ -81,11 +84,18 @@ def main():
     for _ in range(WARMUP):
         jax.block_until_ready(forward(*args))
 
+    profile_dir = os.environ.get("PASTA_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = forward(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     # Guard against the axon relay's unreliable completion barrier (see
     # .claude/skills/verify/SKILL.md): if the queued measurement is physically

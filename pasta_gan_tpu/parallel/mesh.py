@@ -53,3 +53,39 @@ def make_sharded_train_step(step_fn, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up (replaces the reference's file:// NCCL rendezvous,
+    `train_wo_flow_fullbody.py:393-400`): `jax.distributed.initialize` wires
+    the JAX coordinator service; afterwards `jax.devices()` spans all hosts
+    and the same `data_parallel_mesh()` + shard_map program scales across DCN.
+    No-op when running single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def check_replication_consistency(tree, mesh: Mesh, rtol: float = 0.0) -> None:
+    """TPU-native `misc.check_ddp_consistency` (`torch_utils/misc.py:184-196`):
+    assert every leaf of a replicated pytree is bitwise identical across all
+    devices of the mesh.  Raises AssertionError naming the first bad leaf."""
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for keypath, leaf in flat:
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for i, s in enumerate(shards[1:], start=1):
+            if rtol == 0.0:
+                ok = np.array_equal(shards[0], s)
+            else:
+                ok = np.allclose(shards[0], s, rtol=rtol)
+            if not ok:
+                name = jax.tree_util.keystr(keypath)
+                raise AssertionError(
+                    f"replication mismatch at {name}: device 0 vs device {i}"
+                )

@@ -224,6 +224,12 @@ def training_loop(
             save_fake_grid(state, f"{cur_nimg // 1000:06d}")
 
         if snapshot_ticks and (done or cur_tick % snapshot_ticks == 0) and cur_tick > 0:
+            if use_mesh:
+                # reference misc.check_ddp_consistency before every snapshot
+                from ..parallel.mesh import check_replication_consistency
+
+                check_replication_consistency(state.g_params, mesh)
+                check_replication_consistency(state.d_params, mesh)
             snap_dir = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
             save_snapshot(
                 snap_dir,

@@ -83,10 +83,15 @@ def test_train_step_single_device():
     assert int(state1.step) == 1
     assert _finite(stats)
     assert _finite(state1.g_params)
-    # params actually moved
-    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
-    g1 = jax.tree_util.tree_leaves(state1.g_params)[0]
+    # params actually moved (look inside the 'params' collection — leaf 0 of
+    # the full variables dict is a noise_const buffer, which must NOT move)
+    g0 = jax.tree_util.tree_leaves(state.g_params["params"])[0]
+    g1 = jax.tree_util.tree_leaves(state1.g_params["params"])[0]
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    b0 = jax.tree_util.tree_leaves(state.g_params.get("buffers", {}))
+    b1 = jax.tree_util.tree_leaves(state1.g_params.get("buffers", {}))
+    for a, b in zip(b0, b1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     r1 = jax.jit(trainer.d_r1_step)
     state2, r1_stats = r1(state1, batch, jax.random.PRNGKey(2))
