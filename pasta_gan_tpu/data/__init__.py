@@ -3,6 +3,7 @@
 from .dataset import (
     SyntheticUvitonDataset,
     UvitonDataset256Test,
+    UvitonDataset512Test,
     UvitonDatasetFull,
     collate,
     prepare_train_batch,

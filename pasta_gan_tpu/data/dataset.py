@@ -179,6 +179,53 @@ class UvitonDataset256Test:
         return dict(person=p, garment=g, person_name=person, garment_name=garment)
 
 
+class UvitonDataset512Test:
+    """Unpaired 512x320 test pairs (reference UvitonDatasetFull_512_test,
+    `dataset.py:1528-1692`): person/garment pairs under the *_512_320 layout
+    with `change_region` selecting which garment pieces route (fullbody /
+    upperbody / lowerbody; lower-body uses parts {0, 6..9}, dataset.py:2023)."""
+
+    SUBSETS = ["UPT_subset1_512_320", "UPT_subset2_512_320"]
+
+    def __init__(self, path: str, change_region: str = "fullbody",
+                 max_size: Optional[int] = None):
+        assert change_region in ("fullbody", "upperbody", "lowerbody")
+        self._path = path
+        self.change_region = change_region
+        self._pairs: List[tuple] = []
+        for ds in self.SUBSETS:
+            txt = os.path.join(path, ds, "test_pairs_front_list_shuffle_0508.txt")
+            if not os.path.exists(txt):
+                continue
+            with open(txt) as f:
+                for line in f:
+                    parts = line.strip().split()
+                    if len(parts) >= 2:
+                        self._pairs.append((ds, parts[0], parts[1]))
+        if not self._pairs:
+            raise IOError(f"no 512 test pairs found under {path}")
+        if max_size is not None:
+            self._pairs = self._pairs[:max_size]
+
+    def __len__(self):
+        return len(self._pairs)
+
+    def _record(self, ds: str, person: str):
+        base = os.path.join(self._path, ds)
+        return (
+            os.path.join(base, "image", person),
+            os.path.join(base, "keypoints", person.replace(".jpg", "_keypoints.json")),
+            os.path.join(base, "parsing", person.replace(".jpg", "_label.png")),
+        )
+
+    def __getitem__(self, idx: int):
+        ds, person, garment = self._pairs[idx]
+        p = load_sample(*self._record(ds, person))
+        g = load_sample(*self._record(ds, garment))
+        return dict(person=p, garment=g, person_name=person, garment_name=garment,
+                    change_region=self.change_region)
+
+
 class SyntheticUvitonDataset:
     """Deterministic synthetic person fixture: plausible keypoints + simple
     parsing geometry, for tests/smoke-training without the real UPT data

@@ -187,6 +187,22 @@ class MinibatchStdLayer(nn.Module):
         return jnp.concatenate([x, y], axis=-1)
 
 
+class SpaceToDepth(nn.Module):
+    """[N, H, W, C] -> [N, H/b, W/b, C*b*b] (reference `networks.py:583-591`,
+    torch unfold order: channel-major within each block)."""
+
+    block_size: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b = self.block_size
+        N, H, W, C = x.shape
+        x = x.reshape(N, H // b, b, W // b, b, C)
+        # torch unfold yields [C, b, b] blocks; channel-major first
+        x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))
+        return x.reshape(N, H // b, W // b, C * b * b)
+
+
 class DenseNorm(nn.Module):
     """Linear + InstanceNorm + LeakyReLU(0.01), the reference's `Dense`
     (`networks.py:594-611`; torch-default inits, not equalized-LR)."""

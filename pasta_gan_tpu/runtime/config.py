@@ -104,6 +104,7 @@ class TrainConfig:
     ema_kimg: float = 10.0
     ema_rampup: Optional[float] = None
     w_avg_beta: float = 0.995
+    accum_steps: int = 1  # gradient-accumulation microbatches per phase
     kimg_per_tick: int = 4
     image_snapshot_ticks: int = 50
     network_snapshot_ticks: int = 50

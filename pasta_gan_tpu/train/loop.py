@@ -94,13 +94,16 @@ def training_loop(
         if verbose:
             print(f'Resumed from "{resume}" at step {int(jax.device_get(state.step))}')
 
+    use_pl = config.loss.pl_weight > 0 and (config.g_reg_interval or 0) > 0
     if use_mesh:
         state = replicate(state, mesh)
         step_fn = make_sharded_train_step(trainer.train_step, mesh)
         r1_fn = make_sharded_train_step(trainer.d_r1_step, mesh)
+        pl_fn = make_sharded_train_step(trainer.g_pl_step, mesh) if use_pl else None
     else:
         step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
         r1_fn = jax.jit(trainer.d_r1_step, donate_argnums=(0,))
+        pl_fn = jax.jit(trainer.g_pl_step, donate_argnums=(0,)) if use_pl else None
 
     collector = Collector()
     jsonl = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
@@ -158,6 +161,7 @@ def training_loop(
     tick_start_time = start_time
     batch_idx = 0
     d_reg_interval = config.d_reg_interval or 0
+    g_reg_interval = config.g_reg_interval or 0
 
     if verbose:
         print(f"Training for {total_kimg} kimg (batch {config.batch_size})...")
@@ -170,6 +174,9 @@ def training_loop(
             batch = shard_batch(jax.device_get(batch), mesh)
 
         state, stats = step_fn(state, batch, step_rng)
+        if pl_fn is not None and (batch_idx % g_reg_interval == 0):
+            state, pl_stats = pl_fn(state, batch, r1_rng)
+            stats = {**stats, **pl_stats}
         if d_reg_interval and (batch_idx % d_reg_interval == 0):
             state, r1_stats = r1_fn(state, batch, r1_rng)
             stats = {**stats, **r1_stats}

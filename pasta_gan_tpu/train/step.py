@@ -265,6 +265,36 @@ class GANTrainer:
 
     # ------------------------------------------------------------- steps
 
+    def _grads_with_accum(self, loss_fn, params, batch, rng, *extra):
+        """value_and_grad, optionally accumulated over microbatches with
+        lax.scan (reference grad-accumulation rounds,
+        `training_loop_wo_flow_fullbody.py:494-508`)."""
+        A = max(1, self.config.accum_steps)
+        if A == 1:
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, *extra, batch, rng
+            )
+            return grads, aux
+
+        mb = jax.tree_util.tree_map(
+            lambda v: v.reshape((A, v.shape[0] // A) + v.shape[1:]), batch
+        )
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(carry, xs):
+            grads_sum, i = carry
+            mb_i = xs
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, *extra, mb_i, jax.random.fold_in(rng, i)
+            )
+            grads_sum = jax.tree_util.tree_map(jnp.add, grads_sum, grads)
+            return (grads_sum, i + 1), aux
+
+        (grads_sum, _), auxs = jax.lax.scan(body, (zero_grads, 0), mb)
+        grads = jax.tree_util.tree_map(lambda g: g / A, grads_sum)
+        aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxs)
+        return grads, aux
+
     def train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         cfg = self.config
         axis = self.axis_name
@@ -273,9 +303,10 @@ class GANTrainer:
         g_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step), 2)
 
         # ---- Gmain
-        (g_loss, (g_stats, w_mean)), g_grads = jax.value_and_grad(
-            self.g_loss_fn, has_aux=True
-        )(state.g_params, state.d_params, batch, state.ada_p, g_rng)
+        g_grads, (g_stats, w_mean) = self._grads_with_accum(
+            lambda p, d, ap, b, r: self.g_loss_fn(p, d, b, ap, r),
+            state.g_params, batch, g_rng, state.d_params, state.ada_p,
+        )
         g_grads = _pmean(g_grads, axis)
         g_grads = _scrub(g_grads, cfg.grad_clip_posinf)
         g_updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
@@ -283,8 +314,9 @@ class GANTrainer:
 
         # ---- Dmain (fakes come from the *updated* G, matching the reference's
         # sequential phase execution)
-        (d_loss, d_stats), d_grads = jax.value_and_grad(self.d_loss_fn, has_aux=True)(
-            state.d_params, g_params, batch, state.ada_p, d_rng
+        d_grads, d_stats = self._grads_with_accum(
+            lambda p, g, ap, b, r: self.d_loss_fn(p, g, b, ap, r),
+            state.d_params, batch, d_rng, g_params, state.ada_p,
         )
         d_grads = _pmean(d_grads, axis)
         d_grads = _scrub(d_grads, cfg.grad_clip_posinf)
@@ -380,5 +412,80 @@ class GANTrainer:
         )
         new_state = dataclasses.replace(
             state, d_params=d_params, d_opt_state=d_opt_state
+        )
+        return new_state, stats
+
+    def g_pl_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        """Greg phase: path-length regularization (reference
+        `loss_wo_flow_fullbody.py:184-205`; pl_weight=0 in the config of
+        record).  Uses a pl_batch_shrink'd batch and the running pl_mean."""
+        cfg = self.config
+        axis = self.axis_name
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        pl_rng, noise_rng = jax.random.split(jax.random.fold_in(rng, state.step), 2)
+
+        shrink = max(1, cfg.loss.pl_batch_shrink)
+        small = {
+            k: v[: max(1, v.shape[0] // shrink)] for k, v in batch.items()
+        }
+        gain = float(cfg.g_reg_interval or 1)
+
+        def pl_loss(g_params):
+            def apply(method, *args, **kw):
+                return self.gen.apply(
+                    g_params, *args, method=method, rngs={"noise": noise_rng}, **kw
+                )
+
+            stylecode, feats = apply(
+                self.gen.encode_style, small["style_input"], small["retain"]
+            )
+            pose_feat = apply(self.gen.encode_pose, small["pose"])
+            ws, _ = apply(self.gen.map_ws, None, stylecode)
+
+            def synth(w):
+                img, _, _ = apply(
+                    self.gen.synthesize,
+                    w,
+                    pose_feat,
+                    cat_feats_dict(feats),
+                    small["denorm_upper_img"],
+                    small["denorm_lower_img"],
+                    small["denorm_upper_mask"],
+                    small["denorm_lower_mask"],
+                )
+                return img
+
+            img_shape = (
+                small["real_img"].shape[0],
+                self.config.model.img_resolution,
+                self.config.model.img_resolution,
+                self.config.model.img_channels,
+            )
+            pl_noise = jax.random.normal(pl_rng, img_shape) / jnp.sqrt(
+                jnp.asarray(img_shape[1] * img_shape[2], jnp.float32)
+            )
+            pl_grads = jax.grad(lambda w: jnp.sum(synth(w) * pl_noise))(ws)
+            pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(pl_grads), axis=2), axis=1))
+            new_mean = state.pl_mean + cfg.loss.pl_decay * (
+                jnp.mean(pl_lengths) - state.pl_mean
+            )
+            penalty = jnp.mean(jnp.square(pl_lengths - new_mean))
+            return penalty * cfg.loss.pl_weight * gain, (penalty, new_mean)
+
+        (loss, (penalty, new_mean)), g_grads = jax.value_and_grad(pl_loss, has_aux=True)(
+            state.g_params
+        )
+        g_grads = _pmean(g_grads, axis)
+        g_grads = _scrub(g_grads, cfg.grad_clip_posinf)
+        g_updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        stats = _pmean({"Loss/pl_penalty": penalty, "Loss/G/reg": loss}, axis)
+        new_state = dataclasses.replace(
+            state,
+            g_params=g_params,
+            g_opt_state=g_opt_state,
+            pl_mean=_pmean(new_mean, axis),
         )
         return new_state, stats
