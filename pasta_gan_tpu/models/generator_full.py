@@ -43,6 +43,7 @@ class GeneratorFull(nn.Module):
     channel_max: int = 512
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
+    remat: bool = False  # rematerialize synthesis blocks (training memory)
     # encoder kwargs
     style_input_nc: int = 10 * 3 + 4 * 3  # 42: ten upper patches + four lower patches
     dtype: Dtype = jnp.float32
@@ -56,6 +57,7 @@ class GeneratorFull(nn.Module):
             channel_max=self.channel_max,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws

@@ -346,6 +346,7 @@ class SynthesisNetworkFull(nn.Module):
     variant: str = "full"  # "full" (parsing head) | "v18" (upper/lower mask heads)
     start_res: int = 4  # the 512 cluster starts its pyramid at 8 (networks.py:3696)
     merge_min_res: int = 16
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs; SURVEY 7 hard-part 4)
     dtype: Dtype = jnp.float32
 
     @property
@@ -364,7 +365,12 @@ class SynthesisNetworkFull(nn.Module):
         return total + 1  # + last block's torgb
 
     def _block(self, res: int, is_last: bool, is_style: bool, name: str) -> SynthesisBlockFull:
-        return SynthesisBlockFull(
+        cls = (
+            nn.remat(SynthesisBlockFull, static_argnums=(6,))  # noise_mode (positional, incl self)
+            if self.remat
+            else SynthesisBlockFull
+        )
+        return cls(
             in_channels=self.channels(res // 2) if res > self.start_res else 0,
             out_channels=self.channels(res),
             w_dim=self.w_dim,
@@ -482,7 +488,8 @@ class SynthesisNetworkFull(nn.Module):
         x_128 = img_128 = None
         aux = None
         for res, block, cur_ws in zip(resolutions, self.blocks, block_ws):
-            x, img, aux = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode=noise_mode)
+            # noise_mode passed positionally: remat static_argnums needs it there
+            x, img, aux = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode)
             if res == resolutions[-2]:
                 x_128, img_128 = x, img
 

@@ -55,6 +55,7 @@ class ModelConfig:
     mbstd_group_size: int = 4
     mbstd_num_channels: int = 1
     freeze_layers: int = 0
+    remat: bool = False  # rematerialize synthesis blocks during training
 
 
 @dataclasses.dataclass(frozen=True)

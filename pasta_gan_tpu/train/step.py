@@ -69,6 +69,7 @@ class GANTrainer:
             channel_max=m.channel_max,
             conv_clamp=m.conv_clamp,
             use_noise=m.use_noise,
+            remat=m.remat,
             style_input_nc=m.style_input_nc,
             dtype=dtype,
         )
