@@ -29,32 +29,125 @@ from .geometry import HAND_PARTS, LOWER_PART_START, NUM_PARTS, part_transforms
 MASK_SATURATION_THRESHOLD = 254.5 / 255.0
 
 
-def _bilinear_sample(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border: str):
-    """Sample img [H,W,C] at float coords (sx, sy) [h,w]; cv2-style bilinear."""
+def _bilinear_core(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border: str):
+    """Patch-gather bilinear sample; returns (out, residuals for the VJP).
+
+    TPU note: ONE `lax.gather` of (2,2,C) patches instead of four (1,1,C)
+    point gathers — 4x fewer, 4x fatter DMA slices.  Border semantics are made
+    exact by pre-padding: replicate == clamping the sample coords + edge-pad
+    by 1; constant == zero-pad by 1, clamp coords to the 1px fade band, zero
+    samples further outside.
+    """
     H, W = img.shape[0], img.shape[1]
+    out_shape = sx.shape
+
+    if border == "replicate":
+        sx = jnp.clip(sx, 0.0, W - 1)
+        sy = jnp.clip(sy, 0.0, H - 1)
+        imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+        offset = 0
+        outside = None
+    else:  # constant zeros
+        outside = (sx <= -1.0) | (sx >= W) | (sy <= -1.0) | (sy >= H)
+        # keep the fractional fade-out band (W-1, W): x0 may reach W-1 with
+        # its +1 neighbor landing on the zero pad; coords >= W are masked.
+        sx = jnp.clip(sx, -1.0, float(W))
+        sy = jnp.clip(sy, -1.0, float(H))
+        imgp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+        offset = 1
+
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     fx = (sx - x0)[..., None]
     fy = (sy - y0)[..., None]
-    x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    starts = jnp.stack([y0i + offset, x0i + offset], axis=-1).reshape(-1, 2)
 
-    def gather(yi, xi):
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        vals = img[yc, xc]  # [h,w,C]
-        if border == "constant":
-            inside = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))[..., None]
-            vals = jnp.where(inside, vals, jnp.zeros_like(vals))
-        return vals
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    patches = jax.lax.gather(
+        imgp, starts, dnums, slice_sizes=(2, 2, img.shape[2]),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(out_shape + (2, 2, img.shape[2]))
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+    top = patches[..., 0, 0, :] * (1 - fx) + patches[..., 0, 1, :] * fx
+    bot = patches[..., 1, 0, :] * (1 - fx) + patches[..., 1, 1, :] * fx
+    out = top * (1 - fy) + bot * fy
+    if outside is not None:
+        out = jnp.where(outside[..., None], jnp.zeros_like(out), out)
+    return out, (patches, fx, fy, y0i, x0i, outside)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bilinear_sample(img, sx, sy, border: str):
+    """Bilinear sample with a hand-written VJP.
+
+    The autodiff transpose of the patch gather is a scatter-add of
+    OVERLAPPING (2,2,C) windows, which XLA serializes pathologically on TPU
+    (measured ~20x slower than the forward).  The custom backward instead
+    does four non-overlapping-window (1,1,C) scatter-adds — the classic
+    grid_sample gradient — and analytic coordinate gradients from the saved
+    patches.
+    """
+    return _bilinear_core(img, sx, sy, border)[0]
+
+
+def _bilinear_fwd(img, sx, sy, border):
+    out, (patches, fx, fy, y0i, x0i, outside) = _bilinear_core(img, sx, sy, border)
+    # `img` rides along for its static shape/dtype (aliases the live input).
+    return out, (img, patches, fx, fy, y0i, x0i, outside)
+
+
+def _bilinear_bwd(border, res, g):
+    img, patches, fx, fy, y0i, x0i, outside = res
+    H, W, C = img.shape
+    dtype = img.dtype
+    if outside is not None:
+        g = jnp.where(outside[..., None], jnp.zeros_like(g), g)
+
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+
+    dimg = jnp.zeros((H, W, C), g.dtype)
+    for dy, dx, w in ((0, 0, w00), (0, 1, w01), (1, 0, w10), (1, 1, w11)):
+        yi = y0i + dy
+        xi = x0i + dx
+        if border == "replicate":
+            yc = jnp.clip(yi, 0, H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
+            contrib = g * w
+        else:
+            inside = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))[..., None]
+            yc = jnp.clip(yi, 0, H - 1)
+            xc = jnp.clip(xi, 0, W - 1)
+            contrib = jnp.where(inside, g * w, jnp.zeros_like(g))
+        dimg = dimg.at[yc, xc].add(contrib)
+
+    # coordinate gradients from the saved patches (elementwise)
+    dfx = (
+        (patches[..., 0, 1, :] - patches[..., 0, 0, :]) * (1 - fy)
+        + (patches[..., 1, 1, :] - patches[..., 1, 0, :]) * fy
+    )
+    dfy = (
+        patches[..., 1, 0, :] * (1 - fx) + patches[..., 1, 1, :] * fx
+        - (patches[..., 0, 0, :] * (1 - fx) + patches[..., 0, 1, :] * fx)
+    )
+    dsx = jnp.sum(g * dfx, axis=-1)
+    dsy = jnp.sum(g * dfy, axis=-1)
+    if outside is not None:
+        dsx = jnp.where(outside, 0.0, dsx)
+        dsy = jnp.where(outside, 0.0, dsy)
+    return dimg.astype(dtype), dsx, dsy
+
+
+_bilinear_sample.defvjp(_bilinear_fwd, _bilinear_bwd)
 
 
 def warp_perspective_inv(

@@ -88,6 +88,7 @@ class AdaConfig:
     kimg: int = 500
     initial_p: float = 0.0
     pipe: str = "bgc"  # blit + geom + color (the reference default augpipe)
+    static_margin: Optional[int] = None  # geometric reflect-pad margin override
 
 
 @dataclasses.dataclass(frozen=True)

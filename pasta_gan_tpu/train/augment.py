@@ -8,10 +8,11 @@ sample by probability `p`.
 
 TPU-specific divergence (documented): the reference computes a data-dependent
 reflect-pad margin per batch (`augment.py:272-283`) — a dynamic shape XLA
-cannot compile.  We use a static conservative margin (default width//2 +
-filter pad); results are identical whenever the dynamic margin would have
-been <= the static one (true for all but extreme scale/translation draws,
-which the reference clamps to width-1 anyway).
+cannot compile.  We use a static margin (default width//4 + filter pad);
+results are identical whenever the dynamic margin would have been <= the
+static one (covers the bgc pipe's typical draws; the reference clamps its
+margin to width-1 for the extreme tail).  Raise `static_margin` when running
+aggressive geometric settings.
 
 Wavelet coefficient tables are the standard public Daubechies/symlet filters.
 """
@@ -348,7 +349,12 @@ class AugmentPipe:
         N, H, W, C = images.shape
         Hz_geom = setup_filter(jnp.asarray(WAVELETS["sym6"], jnp.float32))
         Hz_pad = len(WAVELETS["sym6"]) // 4
-        m = self.static_margin if self.static_margin is not None else W // 2 + Hz_pad * 2
+        # Default margin W//4 + filter pad covers the bgc pipe's typical draws
+        # (xint<=0.125W, xfrac ~N(0,0.125W), scale exp2(N(0,0.2))); the
+        # supersampled grid-sample cost scales with (W+2m)^2, so a W//2 margin
+        # quadruples-ish the warp cost for tail cases the reference clamps
+        # anyway.  Override via static_margin for extreme augment settings.
+        m = self.static_margin if self.static_margin is not None else W // 4 + Hz_pad * 2
 
         # symmetric static reflect pad (margin bookkeeping terms cancel)
         images = jnp.pad(images, ((0, 0), (m, m), (m, m), (0, 0)), mode="reflect")

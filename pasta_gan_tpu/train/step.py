@@ -89,7 +89,9 @@ class GANTrainer:
         if augment_fn is None and config.ada.enabled:
             from .augment import AugmentPipe
 
-            augment_fn = AugmentPipe.from_spec(config.ada.pipe)
+            augment_fn = AugmentPipe.from_spec(
+                config.ada.pipe, static_margin=config.ada.static_margin
+            )
         self.augment_fn = augment_fn  # (images, p, rng) -> images
         self.axis_name = axis_name
 
