@@ -29,6 +29,17 @@ from .geometry import HAND_PARTS, LOWER_PART_START, NUM_PARTS, part_transforms
 MASK_SATURATION_THRESHOLD = 254.5 / 255.0
 
 
+def _gather_patches(imgp, y0i, x0i, offset, out_shape, C):
+    starts = jnp.stack([y0i + offset, x0i + offset], axis=-1).reshape(-1, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    return jax.lax.gather(
+        imgp, starts, dnums, slice_sizes=(2, 2, C),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(out_shape + (2, 2, C))
+
+
 def _bilinear_core(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border: str):
     """Patch-gather bilinear sample; returns (out, residuals for the VJP).
 
@@ -62,15 +73,7 @@ def _bilinear_core(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border: s
     fy = (sy - y0)[..., None]
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
-    starts = jnp.stack([y0i + offset, x0i + offset], axis=-1).reshape(-1, 2)
-
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
-    )
-    patches = jax.lax.gather(
-        imgp, starts, dnums, slice_sizes=(2, 2, img.shape[2]),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(out_shape + (2, 2, img.shape[2]))
+    patches = _gather_patches(imgp, y0i, x0i, offset, out_shape, img.shape[2])
 
     top = patches[..., 0, 0, :] * (1 - fx) + patches[..., 0, 1, :] * fx
     bot = patches[..., 1, 0, :] * (1 - fx) + patches[..., 1, 1, :] * fx
@@ -99,14 +102,23 @@ def _bilinear_sample(img, sx, sy, border: str):
 
 def _bilinear_fwd(img, sx, sy, border):
     out, (patches, fx, fy, y0i, x0i, outside) = _bilinear_core(img, sx, sy, border)
-    # `img` rides along for its static shape/dtype (aliases the live input).
-    return out, (img, patches, fx, fy, y0i, x0i, outside)
+    # patches are NOT saved (they 4x the activation memory across the many
+    # augment applications per step — measured HBM OOM); the backward
+    # re-gathers them from `img`, which is alive anyway.
+    return out, (img, fx, fy, y0i, x0i, outside)
 
 
 def _bilinear_bwd(border, res, g):
-    img, patches, fx, fy, y0i, x0i, outside = res
+    img, fx, fy, y0i, x0i, outside = res
     H, W, C = img.shape
     dtype = img.dtype
+    if border == "replicate":
+        imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+        offset = 0
+    else:
+        imgp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+        offset = 1
+    patches = _gather_patches(imgp, y0i, x0i, offset, y0i.shape, C)
     if outside is not None:
         g = jnp.where(outside[..., None], jnp.zeros_like(g), g)
 

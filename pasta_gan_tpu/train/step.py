@@ -183,9 +183,29 @@ class GANTrainer:
 
     def run_D(self, d_params, img, c, ada_p, rng):
         """Reference run_D (`loss_wo_flow_fullbody.py:96-102`): ADA pipe + D."""
-        if self.augment_fn is not None:
-            img = self.augment_fn(img, ada_p, rng)
+        img = self._augment(img, ada_p, rng)
         return self.disc.apply(d_params, img, c)
+
+    def _augment(self, img, ada_p, rng):
+        if self.augment_fn is None:
+            return img
+        # NOTE: measured on v5e — running the pipe in bf16 is SLOWER (the
+        # scatter-add in the warp backward appears to be emulated for 16-bit
+        # types); keep the images' own dtype.
+        return self.augment_fn(img, ada_p, rng)
+
+    def _run_D_multi(self, d_params, imgs, c, ada_p, rng):
+        """Run the ADA pipe + D over several image batches.
+
+        NOTE: stacking the batches into ONE augment invocation was measured to
+        OOM HBM at full size (the warp's supersampled intermediates scale with
+        the stacked batch and coexist with the VGG backward); sequential calls
+        let XLA schedule the augment buffers disjointly."""
+        rngs = jax.random.split(rng, len(imgs))
+        return [
+            self.disc.apply(d_params, self._augment(img, ada_p, r), c)
+            for img, r in zip(imgs, rngs)
+        ]
 
     # ------------------------------------------------------------- losses
 
@@ -195,8 +215,9 @@ class GANTrainer:
         img, ft_img, pred_parsing, _, w_raw, gen_c = self.run_G(g_params, batch, g_rng)
         real_img = batch["real_img"]
 
-        gen_logits = self.run_D(d_params, img, gen_c, ada_p, d_rng1)
-        ft_logits = self.run_D(d_params, ft_img, gen_c, ada_p, d_rng2)
+        gen_logits, ft_logits = self._run_D_multi(
+            d_params, [img, ft_img], gen_c, ada_p, d_rng1
+        )
 
         loss_gan = losses.g_nonsaturating(gen_logits)
         loss_gan_ft = losses.g_nonsaturating(ft_logits)
@@ -252,9 +273,9 @@ class GANTrainer:
         ft_img = jax.lax.stop_gradient(ft_img)
         gen_c = jax.lax.stop_gradient(gen_c)
 
-        gen_logits = self.run_D(d_params, img, gen_c, ada_p, d_rng1)
-        ft_logits = self.run_D(d_params, ft_img, gen_c, ada_p, d_rng2)
-        real_logits = self.run_D(d_params, batch["real_img"], gen_c, ada_p, d_rng3)
+        gen_logits, ft_logits, real_logits = self._run_D_multi(
+            d_params, [img, ft_img, batch["real_img"]], gen_c, ada_p, d_rng1
+        )
 
         loss_dgen = (losses.d_fake(gen_logits) + losses.d_fake(ft_logits)) / 2
         loss_dreal = losses.d_real(real_logits)
