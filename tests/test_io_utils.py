@@ -1,0 +1,107 @@
+"""Checkpoint round-trips + utils coverage."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_snapshot_roundtrip(tmp_path):
+    from pasta_gan_tpu.io.checkpoints import load_snapshot, save_snapshot
+
+    params = {"params": {"layer": {"w": jnp.arange(6.0).reshape(2, 3)}}}
+    w_avg = jnp.ones((4,))
+    save_snapshot(str(tmp_path / "snap"), params, w_avg, '{"model": {"w_dim": 4}}')
+    p2, w2, cfg = load_snapshot(str(tmp_path / "snap"))
+    np.testing.assert_array_equal(np.asarray(p2["params"]["layer"]["w"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_array_equal(np.asarray(w2), np.ones(4))
+    assert cfg["model"]["w_dim"] == 4
+
+
+def test_train_state_roundtrip(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import synth_batch, tiny_config
+
+    from pasta_gan_tpu.io.checkpoints import restore_train_state, save_train_state
+    from pasta_gan_tpu.train.step import GANTrainer
+
+    cfg = tiny_config()
+    trainer = GANTrainer(cfg)
+    batch = synth_batch(0, 2, cfg.model.img_resolution)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    save_train_state(str(tmp_path / "ts"), state)
+    restored = restore_train_state(str(tmp_path / "ts"), state)
+    a = jax.tree_util.tree_leaves(state.g_params)[3]
+    b = jax.tree_util.tree_leaves(restored.g_params)[3]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jax.device_get(restored.step)) == 0
+
+
+def test_mapping_truncation():
+    from pasta_gan_tpu.nn.mapping import MappingNetwork
+
+    m = MappingNetwork(z_dim=0, c_dim=16, w_dim=8, num_ws=3, num_layers=1)
+    c = jax.random.normal(jax.random.PRNGKey(0), (2, 16))
+    v = m.init(jax.random.PRNGKey(1), None, c)
+    ws, w_raw = m.apply(v, None, c)
+    assert ws.shape == (2, 3, 8) and w_raw.shape == (2, 8)
+    # psi=0 collapses everything onto w_avg
+    w_avg = jnp.full((8,), 0.5)
+    ws0, _ = m.apply(v, None, c, w_avg=w_avg, truncation_psi=0.0)
+    np.testing.assert_allclose(np.asarray(ws0), 0.5, atol=1e-6)
+    # cutoff: only the first row truncated
+    ws_cut, _ = m.apply(v, None, c, w_avg=w_avg, truncation_psi=0.0, truncation_cutoff=1)
+    np.testing.assert_allclose(np.asarray(ws_cut[:, 0]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ws_cut[:, 1:]), np.asarray(ws[:, 1:]), atol=1e-6)
+
+
+def test_utils_assert_shape_and_grid(tmp_path):
+    from pasta_gan_tpu.utils import assert_shape, save_image_grid
+
+    x = jnp.zeros((2, 4, 4, 3))
+    assert_shape(x, (2, None, 4, 3))
+    with pytest.raises(AssertionError):
+        assert_shape(x, (2, 4, 4, 1))
+    with pytest.raises(AssertionError):
+        assert_shape(x, (2, 4, 4))
+
+    path = save_image_grid(np.zeros((5, 8, 8, 3), np.float32), str(tmp_path / "g.png"))
+    import PIL.Image
+
+    assert PIL.Image.open(path).size == (24, 16)  # 3x2 grid of 8x8
+
+
+def test_easydict_and_logger(tmp_path, capsys):
+    from pasta_gan_tpu.utils import EasyDict, Logger
+
+    d = EasyDict(a=1)
+    d.b = 2
+    assert d["b"] == 2 and d.a == 1
+    del d.a
+    assert "a" not in d
+
+    log_file = str(tmp_path / "log.txt")
+    logger = Logger(log_file)
+    print("tee-check")
+    logger.close()
+    assert "tee-check" in open(log_file).read()
+
+
+def test_spacetodepth_matches_torch_unfold():
+    import torch
+
+    from pasta_gan_tpu.nn.layers import SpaceToDepth
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 8, 6, 5)).astype(np.float32)
+    ours = SpaceToDepth(block_size=2).apply({}, jnp.asarray(x))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())  # NCHW
+    unfolded = torch.nn.functional.unfold(xt, 2, stride=2)
+    ref = unfolded.view(2, 5 * 4, 4, 3).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6)
