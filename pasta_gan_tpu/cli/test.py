@@ -36,18 +36,30 @@ def main(argv=None):
     p.add_argument("--outdir", required=True)
     p.add_argument("--batchsize", type=int, default=16)
     p.add_argument("--truncation_psi", type=float, default=1.0)
+    p.add_argument(
+        "--generator", choices=["full", "v18"], default="full",
+        help="full: this framework's training target (42-ch styles); "
+        "v18: the released-256 checkpoint interface (60-ch norm+stickman "
+        "styles, reference test.py:121-128)",
+    )
     args = p.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
 
-    from ..data.dataset import SyntheticUvitonDataset, UvitonDataset256Test, collate, prepare_tryon_batch
+    from ..data.dataset import (
+        SyntheticUvitonDataset,
+        UvitonDataset256Test,
+        collate,
+        prepare_tryon_batch,
+        prepare_tryon_batch_v18,
+    )
     from ..io.checkpoints import load_snapshot
-    from ..models import GeneratorFull, cat_feats_dict
+    from ..models import GeneratorFull, GeneratorV18, cat_feats_dict
     from ..runtime.config import ModelConfig
 
     g_ema_params, w_avg, config = load_snapshot(args.network)
     mc = config.get("model", {})
-    gen = GeneratorFull(
+    common = dict(
         z_dim=mc.get("z_dim", 0),
         c_dim=mc.get("c_dim", 512),
         w_dim=mc.get("w_dim", 512),
@@ -56,8 +68,13 @@ def main(argv=None):
         channel_max=mc.get("channel_max", 512),
         mapping_layers=mc.get("mapping_layers", 1),
         conv_clamp=mc.get("conv_clamp", 256.0),
-        style_input_nc=mc.get("style_input_nc", 42),
     )
+    if args.generator == "v18":
+        gen = GeneratorV18(style_input_nc=mc.get("style_input_nc", 60), **common)
+        prepare = prepare_tryon_batch_v18
+    else:
+        gen = GeneratorFull(style_input_nc=mc.get("style_input_nc", 42), **common)
+        prepare = prepare_tryon_batch
     w_avg = jnp.asarray(w_avg)
 
     @jax.jit
@@ -72,7 +89,7 @@ def main(argv=None):
             w_avg=w_avg, truncation_psi=args.truncation_psi,
             method=gen.map_ws,
         )
-        img, finetune_img, _ = gen.apply(
+        out = gen.apply(
             g_ema_params,
             ws,
             pose_feat,
@@ -84,7 +101,7 @@ def main(argv=None):
             method=gen.synthesize,
             noise_mode="none",
         )
-        return finetune_img
+        return out[1]  # finetune image (both interfaces)
 
     if args.synthetic:
         ds = SyntheticUvitonDataset(num_samples=args.synthetic)
@@ -105,7 +122,7 @@ def main(argv=None):
         chunk = pairs[i : i + B]
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
-        batch = prepare_tryon_batch(person, garment)
+        batch = prepare(person, garment)
         out = np.asarray(jax.device_get(forward(batch)), np.float32)
         for j, (_, _, pname, gname) in enumerate(chunk):
             # un-pad 256x256 -> 256x192 (test.py:130-150 crop [:, 32:224])

@@ -8,11 +8,13 @@ from .dataset import (
     collate,
     prepare_train_batch,
     prepare_tryon_batch,
+    prepare_tryon_batch_v18,
 )
 from .geometry import BPARTS, KEYPOINT_ORDER, part_transforms
 from .warp import (
     route_patches_batch,
     route_patches_transfer_batch,
+    route_patches_v19_batch,
     warp_perspective,
     warp_perspective_inv,
 )

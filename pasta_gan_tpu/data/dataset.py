@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from . import masks as masks_mod
 from . import stickman
-from .warp import route_patches_batch, route_patches_transfer_batch
+from .warp import (
+    route_patches_batch,
+    route_patches_transfer_batch,
+    route_patches_v19_batch,
+)
 
 # ----------------------------------------------------------------- host side
 
@@ -72,6 +76,7 @@ def load_sample(image_path: str, keypoints_path: str, parsing_path: str) -> Dict
         retain_mask=m["retain"].astype(np.uint8),
         upper_mask=m["upper"].astype(np.uint8),
         lower_mask=m["lower"].astype(np.uint8),
+        lower_test_mask=m["lower_test"].astype(np.uint8),
         gt_parsing=m["gt_parsing"][..., 0].astype(np.uint8),
         left_padding=np.int32(left),
     )
@@ -304,6 +309,7 @@ class SyntheticUvitonDataset:
             retain_mask=m["retain"].astype(np.uint8),
             upper_mask=m["upper"].astype(np.uint8),
             lower_mask=m["lower"].astype(np.uint8),
+            lower_test_mask=m["lower_test"].astype(np.uint8),
             gt_parsing=m["gt_parsing"][..., 0].astype(np.uint8),
             acgpn_mask=np.zeros((256, 256, 1), np.uint8),
             left_padding=np.int32(left),
@@ -391,11 +397,12 @@ def prepare_tryon_batch(person: Dict[str, jnp.ndarray], garment: Dict[str, jnp.n
     p_pose = person["pose"].astype(jnp.float32) / 127.5 - 1.0
     p_retain = person["retain_mask"].astype(jnp.float32)
 
+    p_lower_mask = person.get("lower_test_mask", person["lower_mask"]).astype(jnp.float32)
     routed = route_patches_transfer_batch(
         g_img * garment["upper_mask"].astype(jnp.float32),
-        g_img * garment["lower_mask"].astype(jnp.float32),
+        p_img * p_lower_mask,
         garment["upper_mask"].astype(jnp.float32),
-        garment["lower_mask"].astype(jnp.float32),
+        p_lower_mask,
         garment["keypoints"].astype(jnp.float32),
         person["keypoints"].astype(jnp.float32),
         box_factor=box_factor,
@@ -418,6 +425,65 @@ def prepare_tryon_batch(person: Dict[str, jnp.ndarray], garment: Dict[str, jnp.n
     return {
         "style_input": style_input,
         "retain": head,
+        "pose": pose6,
+        "denorm_upper_img": routed.denorm_upper_img * 2.0 - 1.0,
+        "denorm_lower_img": routed.denorm_lower_img * 2.0 - 1.0,
+        "denorm_upper_mask": denorm_upper_mask,
+        "denorm_lower_mask": denorm_lower_mask,
+        "person_img": p_real,
+    }
+
+
+@partial(jax.jit, static_argnames=("box_factor",))
+def prepare_tryon_batch_v18(person: Dict[str, jnp.ndarray], garment: Dict[str, jnp.ndarray],
+                            box_factor: int = 2):
+    """The released-256 checkpoint's batch (reference `test.py:103-128` over
+    `UvitonDatasetV19_test.__getitem__`, dataset.py:1503-1523):
+
+    * style_input: 60ch = norm_img(30: garment upper patches + the person's
+      own lower patches) ⊕ norm_pose(30: the matching warped stickmen);
+    * retain: the person image keeping ONLY palm+head+shoes pixels
+      (dataset.py:1117) — zeros elsewhere map to -1 after normalization;
+    * pose: person stickman ⊕ retain (6ch);
+    * denorms re-projected into the person pose with eroded upper masks.
+    """
+    p_img = person["image"].astype(jnp.float32) / 255.0
+    g_img = garment["image"].astype(jnp.float32) / 255.0
+    p_pose = person["pose"].astype(jnp.float32) / 255.0
+    g_pose = garment["pose"].astype(jnp.float32) / 255.0
+    p_retain = person["retain_mask"].astype(jnp.float32)
+    g_upper_mask = garment["upper_mask"].astype(jnp.float32)
+    p_lower_mask = person.get("lower_test_mask", person["lower_mask"]).astype(jnp.float32)
+
+    routed = route_patches_v19_batch(
+        g_img * g_upper_mask,
+        g_upper_mask,
+        g_pose,
+        p_img * p_lower_mask,
+        p_lower_mask,
+        p_pose,
+        garment["keypoints"].astype(jnp.float32),
+        person["keypoints"].astype(jnp.float32),
+        box_factor=box_factor,
+    )
+
+    denorm_upper_mask = (
+        jnp.sum(routed.denorm_upper_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+    denorm_lower_mask = (
+        jnp.sum(routed.denorm_lower_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+
+    p_real = p_img * 2.0 - 1.0
+    retain = p_retain * p_real - (1.0 - p_retain)  # == masked image /127.5-1
+    pose6 = jnp.concatenate([p_pose * 2.0 - 1.0, retain], axis=-1)
+    style_input = (
+        jnp.concatenate([routed.norm_img, routed.norm_pose], axis=-1) * 2.0 - 1.0
+    )
+
+    return {
+        "style_input": style_input,
+        "retain": retain,
         "pose": pose6,
         "denorm_upper_img": routed.denorm_upper_img * 2.0 - 1.0,
         "denorm_lower_img": routed.denorm_lower_img * 2.0 - 1.0,

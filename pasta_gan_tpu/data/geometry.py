@@ -73,6 +73,7 @@ def part_quads(
     img_h: int,
     pad_x: float = 32.0,
     ar: float = DEFAULT_AR,
+    knee_fallbacks: bool = False,
 ):
     """Build the source quads for all 10 parts, vectorized over the batch.
 
@@ -81,6 +82,10 @@ def part_quads(
       * lhip+lknee / rhip+rknee invalid -> single-hip vertical segment,
       * shoulders+nose invalid -> shoulders-only box (alpha=1, flipped normal),
       * anything else invalid -> part dropped (valid=False).
+    With `knee_fallbacks` (the TEST-path get_crop, dataset.py:1356-1363 —
+    commented out in the training one, dataset.py:765-772), lknee+lankle /
+    rknee+rankle invalid additionally falls back to a single-knee vertical
+    segment to the image bottom.
     """
     keypoints = jnp.asarray(keypoints, jnp.float32)
     B = keypoints.shape[0]
@@ -140,14 +145,18 @@ def part_quads(
             a, b = kp(names[0]), kp(names[1])
             quad2 = _segment_quad(a, b, ar / 2.0)
             v2 = primary_valid[:, p]
-            if names in (["lhip", "lknee"], ["rhip", "rknee"]):
-                # single-hip fallback: vertical segment to the image bottom
-                # (dataset.py:757-764, 782-786)
-                hip = a
-                bottom = jnp.stack(
-                    [hip[..., 0], jnp.full_like(hip[..., 0], img_h - 1.0)], axis=-1
+            has_fallback = names in (["lhip", "lknee"], ["rhip", "rknee"]) or (
+                knee_fallbacks
+                and names in (["lknee", "lankle"], ["rknee", "rankle"])
+            )
+            if has_fallback:
+                # single-point fallback: vertical segment from the first joint
+                # to the image bottom (dataset.py:757-772, 782-786)
+                quad_fb = _segment_quad(
+                    a,
+                    jnp.stack([a[..., 0], jnp.full_like(a[..., 0], img_h - 1.0)], axis=-1),
+                    ar / 2.0,
                 )
-                quad_fb = _segment_quad(hip, bottom, ar / 2.0)
                 v_fb = kconf(names[0]) >= VALID_CONF
                 quad = jnp.where(v2[:, None, None], quad2, quad_fb)
                 v = v2 | v_fb
@@ -194,13 +203,16 @@ def part_transforms(
     patch_h: int,
     pad_x: float = 32.0,
     ar: float = DEFAULT_AR,
+    knee_fallbacks: bool = False,
 ):
     """Full geometry for a batch: (M [B,10,3,3], M_inv [B,10,3,3], valid [B,10]).
 
     Invalid parts get identity matrices (callers mask their outputs), keeping
     the batched solve non-singular.
     """
-    quads, valid = part_quads(keypoints, img_h=img_h, pad_x=pad_x, ar=ar)
+    quads, valid = part_quads(
+        keypoints, img_h=img_h, pad_x=pad_x, ar=ar, knee_fallbacks=knee_fallbacks
+    )
     dq = jnp.asarray(dst_quad(patch_w, patch_h))
     dq = jnp.broadcast_to(dq, quads.shape)
     safe_quads = jnp.where(valid[..., None, None], quads, dq)

@@ -29,6 +29,9 @@ SHOES_LABELS = (18, 19)
 HEAD_LABELS = (1, 2, 4, 13)
 UPPER_LABELS = (5, 6, 7)
 LOWER_LABELS = (9, 12)
+# the 256 test path's person lower-clothes grouping adds dresses (label 6),
+# reference dataset.py:1117
+LOWER_TEST_LABELS = (6, 9, 12)
 HANDS_LABELS = (14, 15)
 LEGS_LABELS = (16, 17)
 NECK_LABEL = 10
@@ -49,12 +52,13 @@ def parsing_masks(parsing: np.ndarray) -> dict:
     head = _label_mask(parsing, HEAD_LABELS)
     upper = _label_mask(parsing, UPPER_LABELS)
     lower = _label_mask(parsing, LOWER_LABELS)
+    lower_test = _label_mask(parsing, LOWER_TEST_LABELS)
     hands = _label_mask(parsing, HANDS_LABELS)
     legs = _label_mask(parsing, LEGS_LABELS)
     neck = _label_mask(parsing, (NECK_LABEL,))
     gt_parsing = (upper * 1 + lower * 2 + hands * 3 + legs * 4 + neck * 5).astype(np.uint8)
     return dict(
-        shoes=shoes, head=head, upper=upper, lower=lower,
+        shoes=shoes, head=head, upper=upper, lower=lower, lower_test=lower_test,
         hands=hands, legs=legs, neck=neck, gt_parsing=gt_parsing,
     )
 

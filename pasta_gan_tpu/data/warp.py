@@ -211,30 +211,45 @@ def route_patches_single(
     lower_img: jnp.ndarray,  # [H, W, 3]
     upper_clothes_mask: jnp.ndarray,  # [H, W, 1] in {0, 1}
     lower_clothes_mask: jnp.ndarray,  # [H, W, 1]
-    M: jnp.ndarray,  # [10, 3, 3] norm transforms
+    M: jnp.ndarray,  # [10, 3, 3] norm transforms for the upper source
     M_inv: jnp.ndarray,  # [10, 3, 3] denorm transforms (usually the person's)
-    valid: jnp.ndarray,  # [10] bool (garment AND target validity)
+    valid: jnp.ndarray,  # [10] bool, validity of M
     box_factor: int = 2,
+    M_lower: Optional[jnp.ndarray] = None,  # norm transforms for the lower source
+    valid_lower: Optional[jnp.ndarray] = None,  # [10] validity of M_lower
+    denorm_valid: Optional[jnp.ndarray] = None,  # [10] validity of M_inv
+    erode_upper: bool = False,  # 5x5-erode upper denorm masks (test path, dataset.py:1485)
 ) -> RoutedPatches:
     """The norm/denorm patch pipeline for one sample (dataset.py:863-927).
 
-    For pose transfer (test path) pass the garment's M with the person's M_inv
-    and the AND of both validity vectors (dataset.py:1467-1492).
+    Training path: one keypoint set, so M == M_lower, all validities equal,
+    no erosion.  Transfer path (test): the upper garment normalizes with the
+    GARMENT's M while the lower garment is the person's own, self-routed with
+    the person's M (dataset.py:1467-1492); everything denorms with the
+    person's M_inv, and upper denorm masks are eroded before saturation.
     """
     H, W = upper_img.shape[0], upper_img.shape[1]
     h, w = H >> box_factor, W >> box_factor
+    if M_lower is None:
+        M_lower = M
+    if valid_lower is None:
+        valid_lower = valid
+    if denorm_valid is None:
+        denorm_valid = valid
     vmask = valid.astype(upper_img.dtype)[:, None, None, None]  # [10,1,1,1]
+    vmask_lower = valid_lower.astype(upper_img.dtype)[:, None, None, None]
+    dmask = denorm_valid.astype(upper_img.dtype)[:, None, None, None]
 
     # ---- norm: image + clothes-mask patches, BORDER_REPLICATE
     part_imgs = _warp_parts(upper_img, M, (h, w), "replicate") * vmask
     part_masks = _warp_parts(upper_clothes_mask, M, (h, w), "replicate") * vmask
     part_imgs_lower = (
-        _warp_parts(lower_img, M[LOWER_PART_START:], (h, w), "replicate")
-        * vmask[LOWER_PART_START:]
+        _warp_parts(lower_img, M_lower[LOWER_PART_START:], (h, w), "replicate")
+        * vmask_lower[LOWER_PART_START:]
     )
     part_masks_lower = (
-        _warp_parts(lower_clothes_mask, M[LOWER_PART_START:], (h, w), "replicate")
-        * vmask[LOWER_PART_START:]
+        _warp_parts(lower_clothes_mask, M_lower[LOWER_PART_START:], (h, w), "replicate")
+        * vmask_lower[LOWER_PART_START:]
     )
 
     # ---- denorm: re-project each patch, keep only saturated-mask pixels,
@@ -245,10 +260,14 @@ def route_patches_single(
     denorm_mask_patches = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
         part_masks, M_inv, (H, W), "constant"
     )
-    denorm_valid = (
-        (denorm_mask_patches[..., :1] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
-        * vmask
-    )  # [10, H, W, 1]
+    denorm_sat = (denorm_mask_patches[..., :1] >= MASK_SATURATION_THRESHOLD).astype(
+        upper_img.dtype
+    )
+    if erode_upper:
+        denorm_sat = denorm_sat.at[:LOWER_PART_START].set(
+            erode_binary(denorm_sat[:LOWER_PART_START])
+        )
+    denorm_valid = denorm_sat * dmask  # [10, H, W, 1]
 
     denorm_upper = jnp.zeros_like(upper_img)
     for p in range(NUM_PARTS):
@@ -262,7 +281,7 @@ def route_patches_single(
     )
     denorm_valid_lower = (
         (denorm_mask_patches_lower[..., :1] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
-        * vmask[LOWER_PART_START:]
+        * dmask[LOWER_PART_START:]
     )
     denorm_lower = jnp.zeros_like(lower_img)
     for p in range(NUM_PARTS - LOWER_PART_START):
@@ -316,32 +335,190 @@ def route_patches_batch(
     )
 
 
+def erode_binary(mask: jnp.ndarray, size: int = 5) -> jnp.ndarray:
+    """cv2.erode with the default (+inf) border on a binary mask == min-pool
+    with SAME padding.  Operates on the trailing [H, W, 1] dims of any rank."""
+    window = (1,) * (mask.ndim - 3) + (size, size, 1)
+    return jax.lax.reduce_window(
+        mask, jnp.inf, jax.lax.min, window, (1,) * mask.ndim, "SAME"
+    )
+
+
+class RoutedPatchesV19(NamedTuple):
+    norm_img: jnp.ndarray  # [h, w, 30] upper parts from garment, lower from person
+    norm_pose: jnp.ndarray  # [h, w, 30] the per-part warped stickmen
+    denorm_upper_img: jnp.ndarray  # [H, W, 3]
+    denorm_lower_img: jnp.ndarray  # [H, W, 3]
+
+
+def route_patches_v19_single(
+    g_upper_img: jnp.ndarray,  # [H, W, 3] garment person's upper-clothes image, [0,1]
+    g_upper_mask: jnp.ndarray,  # [H, W, 1]
+    g_pose: jnp.ndarray,  # [H, W, 3] garment person's stickman, [0,1]
+    p_lower_img: jnp.ndarray,  # [H, W, 3] target person's lower-clothes image
+    p_lower_mask: jnp.ndarray,  # [H, W, 1]
+    p_pose: jnp.ndarray,  # [H, W, 3] target person's stickman
+    Mg: jnp.ndarray,  # [10, 3, 3] garment norm transforms
+    valid_g: jnp.ndarray,  # [10]
+    Mp: jnp.ndarray,  # [10, 3, 3] person norm transforms
+    Mp_inv: jnp.ndarray,  # [10, 3, 3] person denorm transforms
+    valid_p: jnp.ndarray,  # [10]
+    box_factor: int = 2,
+) -> RoutedPatchesV19:
+    """The released-256 test-path routing (`UvitonDatasetV19_test.normalize`,
+    reference `training/dataset.py:1427-1501`):
+
+    * parts 0..5 (upper body) norm-warp the GARMENT's clothes image, stickman
+      and mask with the garment's M;
+    * parts 6..9 (lower body) norm-warp the TARGET PERSON's own lower-clothes
+      image, stickman and mask with the person's M (self-routing);
+    * every part denorm-warps with the person's M_inv — the pose transfer;
+    * upper denorm masks are eroded 5x5 before the ==255 saturation test
+      (`dataset.py:1485`); lower masks are not.
+
+    Emits the 30-ch norm image + 30-ch norm stickman stacks that form the
+    60-channel style-encoder input of the released checkpoint
+    (`dataset.py:1513`, `test.py:121`).
+    """
+    H, W = g_upper_img.shape[0], g_upper_img.shape[1]
+    h, w = H >> box_factor, W >> box_factor
+    L = LOWER_PART_START
+
+    def bcast(x, n):
+        return jnp.broadcast_to(x[None], (n,) + x.shape)
+
+    # Per-part source planes: img(3) + pose(3) + mask(1) packed into one warp.
+    src = jnp.concatenate(
+        [
+            jnp.concatenate([g_upper_img, g_pose, g_upper_mask], axis=-1)[None]
+            .repeat(L, axis=0),
+            jnp.concatenate([p_lower_img, p_pose, p_lower_mask], axis=-1)[None]
+            .repeat(NUM_PARTS - L, axis=0),
+        ],
+        axis=0,
+    )  # [10, H, W, 7]
+    M_norm = jnp.concatenate([Mg[:L], Mp[L:]], axis=0)
+    src_valid = jnp.concatenate([valid_g[:L], valid_p[L:]], axis=0)
+    vmask = src_valid.astype(g_upper_img.dtype)[:, None, None, None]
+
+    warped = (
+        jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
+            src, M_norm, (h, w), "replicate"
+        )
+        * vmask
+    )  # [10, h, w, 7]
+    part_imgs = warped[..., 0:3]
+    part_poses = warped[..., 3:6]
+    part_masks = warped[..., 6:7]
+
+    # Denorm: re-project image+mask into the person frame, saturation-gate.
+    dn = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
+        jnp.concatenate([part_imgs, part_masks], axis=-1), Mp_inv, (H, W), "constant"
+    )  # [10, H, W, 4]
+    dn_img = dn[..., 0:3]
+    sat = (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(g_upper_img.dtype)
+    dn_valid_gate = valid_p.astype(g_upper_img.dtype)[:, None, None, None]
+    sat_upper = erode_binary(sat[:L]) * dn_valid_gate[:L]
+    sat_lower = sat[L:] * dn_valid_gate[L:]
+
+    denorm_upper = jnp.zeros_like(g_upper_img)
+    for p in range(L):
+        denorm_upper = dn_img[p] * sat_upper[p] + denorm_upper * (1 - sat_upper[p])
+    denorm_lower = jnp.zeros_like(p_lower_img)
+    for p in range(NUM_PARTS - L):
+        denorm_lower = dn_img[L + p] * sat_lower[p] + denorm_lower * (1 - sat_lower[p])
+
+    def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
+
+    return RoutedPatchesV19(
+        norm_img=stack_ch(part_imgs),
+        norm_pose=stack_ch(part_poses),
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+    )
+
+
+@partial(jax.jit, static_argnames=("box_factor", "img_h", "pad_x"))
+def route_patches_v19_batch(
+    garment_upper_img: jnp.ndarray,  # [B, H, W, 3]
+    garment_upper_mask: jnp.ndarray,  # [B, H, W, 1]
+    garment_pose: jnp.ndarray,  # [B, H, W, 3]
+    person_lower_img: jnp.ndarray,
+    person_lower_mask: jnp.ndarray,
+    person_pose: jnp.ndarray,
+    garment_keypoints: jnp.ndarray,  # [B, 18, 3]
+    person_keypoints: jnp.ndarray,  # [B, 18, 3]
+    box_factor: int = 2,
+    img_h: Optional[int] = None,
+    pad_x: float = 32.0,
+) -> RoutedPatchesV19:
+    """Batched released-256 test routing (dataset.py:1427-1501)."""
+    H = img_h or garment_upper_img.shape[1]
+    h = garment_upper_img.shape[1] >> box_factor
+    w = garment_upper_img.shape[2] >> box_factor
+    Mg, _, valid_g = part_transforms(
+        garment_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    Mp, Mp_inv, valid_p = part_transforms(
+        person_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    return jax.vmap(partial(route_patches_v19_single, box_factor=box_factor))(
+        garment_upper_img,
+        garment_upper_mask,
+        garment_pose,
+        person_lower_img,
+        person_lower_mask,
+        person_pose,
+        Mg,
+        valid_g,
+        Mp,
+        Mp_inv,
+        valid_p,
+    )
+
+
 @partial(jax.jit, static_argnames=("box_factor", "img_h", "pad_x"))
 def route_patches_transfer_batch(
-    garment_upper_img: jnp.ndarray,  # [B, H, W, 3] garment person's image
-    garment_lower_img: jnp.ndarray,
+    garment_upper_img: jnp.ndarray,  # [B, H, W, 3] garment person's upper clothes
+    person_lower_img: jnp.ndarray,  # [B, H, W, 3] target person's own lower clothes
     garment_upper_mask: jnp.ndarray,
-    garment_lower_mask: jnp.ndarray,
+    person_lower_mask: jnp.ndarray,
     garment_keypoints: jnp.ndarray,  # [B, 18, 3]
     person_keypoints: jnp.ndarray,  # [B, 18, 3] target pose
     box_factor: int = 2,
     img_h: Optional[int] = None,
     pad_x: float = 32.0,
 ) -> RoutedPatches:
-    """Unpaired try-on: garment patches normalized with the garment's M and
-    re-projected with the target person's M_inv (dataset.py:1467-1492)."""
+    """Unpaired try-on (42-ch Full-cluster layout): the upper garment
+    normalizes with the garment's M, the person's own lower clothes self-route
+    with the person's M, and everything re-projects with the person's M_inv
+    with upper-mask erosion — the test-path semantics of dataset.py:1467-1492
+    arranged into the training stack layout."""
     H = img_h or garment_upper_img.shape[1]
     h = garment_upper_img.shape[1] >> box_factor
     w = garment_upper_img.shape[2] >> box_factor
-    Mg, _, valid_g = part_transforms(garment_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x)
-    _, Mp_inv, valid_p = part_transforms(person_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x)
-    valid = valid_g & valid_p
-    return jax.vmap(partial(route_patches_single, box_factor=box_factor))(
+    Mg, _, valid_g = part_transforms(
+        garment_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    Mp, Mp_inv, valid_p = part_transforms(
+        person_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    return jax.vmap(
+        partial(route_patches_single, box_factor=box_factor, erode_upper=True)
+    )(
         garment_upper_img,
-        garment_lower_img,
+        person_lower_img,
         garment_upper_mask,
-        garment_lower_mask,
+        person_lower_mask,
         Mg,
         Mp_inv,
-        valid,
+        valid_g,
+        M_lower=Mp,
+        valid_lower=valid_p,
+        denorm_valid=valid_p,
     )
