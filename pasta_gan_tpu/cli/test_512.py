@@ -1,9 +1,13 @@
 """512x320 region-selectable try-on inference CLI (reference `test_512.py`).
 
-Same pipeline as cli/test at 512x320 (padded to 512x512), with
+Drives Generator512 over `UvitonDataset512Test` with
 `--change_region {fullbody,upperbody,lowerbody}` selecting which garment
-pieces are routed (reference `dataset.py:1679-1692`), and triptych output
-strips garment|person|result (`test_512.py:180-187`).
+pieces route (reference `dataset.py:1679-1692`): the region picks which
+keypoints (garment's vs person's) build the norm transforms and which
+images feed the upper/lower patch sources — implemented exactly in
+`data.warp.route_patches_512_batch` (vs reference `normalize_full/upper/
+lower`, dataset.py:1967-2194).  Output is triptych strips
+garment|person|result (`test_512.py:180-187`).
 """
 
 from __future__ import annotations
@@ -17,9 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from .test import save_image
-
-# lower-body routing uses parts {0 (torso frame), 6..9 (legs)} (dataset.py:2023)
-LOWER_REGION_PARTS = (0, 6, 7, 8, 9)
 
 
 def main(argv=None):
@@ -38,9 +39,9 @@ def main(argv=None):
 
     from ..data.dataset import (
         SyntheticUvitonDataset,
-        UvitonDataset256Test,
+        UvitonDataset512Test,
         collate,
-        prepare_tryon_batch,
+        prepare_tryon_batch_512,
     )
     from ..io.checkpoints import load_snapshot
     from ..models import Generator512, cat_feats_dict
@@ -76,8 +77,6 @@ def main(argv=None):
         )
         return finetune_img
 
-    # 45-channel style stack = norm(30) + lower norm(15 of the 12+3 frame);
-    # built from the same routed patches as the 256 path.
     if args.synthetic:
         ds = SyntheticUvitonDataset(num_samples=args.synthetic, resolution=res)
         pairs = [
@@ -87,7 +86,7 @@ def main(argv=None):
     else:
         if args.dataroot is None:
             raise SystemExit("--dataroot or --synthetic required")
-        tds = UvitonDataset256Test(args.dataroot)
+        tds = UvitonDataset512Test(args.dataroot, change_region=args.change_region)
         pairs = [
             (r["person"], r["garment"], r["person_name"], r["garment_name"])
             for r in (tds[i] for i in range(len(tds)))
@@ -99,24 +98,13 @@ def main(argv=None):
         chunk = pairs[i : i + B]
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
-        batch = dict(prepare_tryon_batch(person, garment))
-
-        # region selection: zero out the garment channels that must not move
-        if args.change_region == "upperbody":
-            batch["denorm_lower_img"] = jnp.full_like(batch["denorm_lower_img"], -1.0)
-            batch["denorm_lower_mask"] = jnp.zeros_like(batch["denorm_lower_mask"])
-        elif args.change_region == "lowerbody":
-            batch["denorm_upper_img"] = jnp.full_like(batch["denorm_upper_img"], -1.0)
-            batch["denorm_upper_mask"] = jnp.zeros_like(batch["denorm_upper_mask"])
-
-        # style stack: 42ch routed -> pad/crop to the 45-channel 512 layout
-        style = batch["style_input"]
-        if style.shape[-1] < 45:
-            style = jnp.concatenate(
-                [style, jnp.full(style.shape[:-1] + (45 - style.shape[-1],), -1.0, style.dtype)],
-                axis=-1,
+        # pad_x = square-padding x offset: 96 for 512x320, 32 for the 256 fixture
+        pad_x = float(person["left_padding"][0])
+        batch = dict(
+            prepare_tryon_batch_512(
+                person, garment, change_region=args.change_region, pad_x=pad_x
             )
-        batch["style_input"] = style[..., :45]
+        )
 
         # inputs may be produced at 256 (synthetic fixture); scale to model res
         if batch["pose"].shape[1] != res:
@@ -141,8 +129,13 @@ def main(argv=None):
                 gj = np.asarray(
                     jax.image.resize(jnp.asarray(gj), (out.shape[1], W, 3), "nearest")
                 )
+            pj = p_img[j]
+            if pj.shape[0] != out.shape[1]:
+                pj = np.asarray(
+                    jax.image.resize(jnp.asarray(pj), (out.shape[1], W, 3), "nearest")
+                )
             strip = np.concatenate(
-                [gj[:, crop], p_img[j][:, crop], out[j][:, crop]], axis=1
+                [gj[:, crop], pj[:, crop], out[j][:, crop]], axis=1
             )
             name = f"{os.path.basename(pname).split('.')[0]}__{os.path.basename(gname).split('.')[0]}.png"
             save_image(strip, os.path.join(args.outdir, name))

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from . import masks as masks_mod
 from . import stickman
 from .warp import (
+    route_patches_512_batch,
     route_patches_batch,
     route_patches_transfer_batch,
     route_patches_v19_batch,
@@ -46,16 +47,24 @@ def pad_to_square(img: np.ndarray, value: int) -> tuple[np.ndarray, int]:
     return out, left
 
 
-def load_sample(image_path: str, keypoints_path: str, parsing_path: str) -> Dict[str, np.ndarray]:
-    """Decode one person record into the host-side sample dict."""
+def load_sample(
+    image_path: str,
+    keypoints_path: str,
+    parsing_path: str,
+    size: tuple[int, int] = (256, 192),
+) -> Dict[str, np.ndarray]:
+    """Decode one person record into the host-side sample dict.
+
+    `size` is the native (H, W) frame — (256, 192) for the 256 layout,
+    (512, 320) for the 512 test layout (reference dataset.py:1878)."""
     import PIL.Image
 
     image = np.asarray(PIL.Image.open(image_path).convert("RGB"))
     image, left = pad_to_square(image, 255)
 
     keypoints = stickman.load_keypoints(keypoints_path)
-    # the reference draws on the unpadded 256x192 then zero-pads (dataset.py:529-530)
-    pose = stickman.draw_pose_from_cords(keypoints, (256, 192))
+    # the reference draws on the unpadded HxW then zero-pads (dataset.py:529-530)
+    pose = stickman.draw_pose_from_cords(keypoints, size)
     pose, _ = pad_to_square(pose, 0)
 
     parsing = np.asarray(PIL.Image.open(parsing_path))
@@ -225,8 +234,8 @@ class UvitonDataset512Test:
 
     def __getitem__(self, idx: int):
         ds, person, garment = self._pairs[idx]
-        p = load_sample(*self._record(ds, person))
-        g = load_sample(*self._record(ds, garment))
+        p = load_sample(*self._record(ds, person), size=(512, 320))
+        g = load_sample(*self._record(ds, garment), size=(512, 320))
         return dict(person=p, garment=g, person_name=person, garment_name=garment,
                     change_region=self.change_region)
 
@@ -479,6 +488,78 @@ def prepare_tryon_batch_v18(person: Dict[str, jnp.ndarray], garment: Dict[str, j
     pose6 = jnp.concatenate([p_pose * 2.0 - 1.0, retain], axis=-1)
     style_input = (
         jnp.concatenate([routed.norm_img, routed.norm_pose], axis=-1) * 2.0 - 1.0
+    )
+
+    return {
+        "style_input": style_input,
+        "retain": retain,
+        "pose": pose6,
+        "denorm_upper_img": routed.denorm_upper_img * 2.0 - 1.0,
+        "denorm_lower_img": routed.denorm_lower_img * 2.0 - 1.0,
+        "denorm_upper_mask": denorm_upper_mask,
+        "denorm_lower_mask": denorm_lower_mask,
+        "person_img": p_real,
+    }
+
+
+@partial(jax.jit, static_argnames=("box_factor", "change_region", "pad_x"))
+def prepare_tryon_batch_512(
+    person: Dict[str, jnp.ndarray],
+    garment: Dict[str, jnp.ndarray],
+    change_region: str = "fullbody",
+    box_factor: int = 2,
+    pad_x: float = 96.0,
+):
+    """The 512 region-selectable try-on batch (reference `test_512.py:111-142`
+    over `UvitonDatasetFull_512_test.__getitem__`, dataset.py:1605-2214):
+
+    * style_input: 45ch = norm_img(30: all parts of the region's upper source)
+      ⊕ norm_img_lower(15: parts {0,6..9} of the region's lower source);
+    * change_region picks garment vs person sources/keypoints per branch
+      (dataset.py:1679-1692); denorms always re-project into the person pose
+      with 5x5-eroded saturation masks;
+    * parsing groups: upper {5,6,7}, lower {9,12} (dataset.py:1636-1639) — the
+      plain `upper`/`lower` masks, NOT the 256 test path's {6,9,12} grouping;
+    * pad_x: the square-padding offset added to keypoint x (96 for 512x320,
+      dataset.py:1616; 32 for the 256 fixture).
+    """
+    p_img = person["image"].astype(jnp.float32) / 255.0
+    g_img = garment["image"].astype(jnp.float32) / 255.0
+    p_pose = person["pose"].astype(jnp.float32) / 127.5 - 1.0
+    p_retain = person["retain_mask"].astype(jnp.float32)
+    p_upper_mask = person["upper_mask"].astype(jnp.float32)
+    p_lower_mask = person["lower_mask"].astype(jnp.float32)
+    g_upper_mask = garment["upper_mask"].astype(jnp.float32)
+    g_lower_mask = garment["lower_mask"].astype(jnp.float32)
+
+    routed = route_patches_512_batch(
+        p_img * p_upper_mask,
+        p_img * p_lower_mask,
+        p_upper_mask,
+        p_lower_mask,
+        g_img * g_upper_mask,
+        g_img * g_lower_mask,
+        g_upper_mask,
+        g_lower_mask,
+        person["keypoints"].astype(jnp.float32),
+        garment["keypoints"].astype(jnp.float32),
+        change_region=change_region,
+        box_factor=box_factor,
+        pad_x=pad_x,
+    )
+
+    denorm_upper_mask = (
+        jnp.sum(routed.denorm_upper_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+    denorm_lower_mask = (
+        jnp.sum(routed.denorm_lower_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+
+    p_real = p_img * 2.0 - 1.0
+    retain = p_retain * p_real - (1.0 - p_retain)
+    pose6 = jnp.concatenate([p_pose, retain], axis=-1)
+    style_input = (
+        jnp.concatenate([routed.norm_img, routed.norm_img_lower], axis=-1) * 2.0 - 1.0
     )
 
     return {

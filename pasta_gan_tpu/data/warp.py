@@ -480,6 +480,149 @@ def route_patches_v19_batch(
     )
 
 
+# The 512 test path routes the lower garment through parts {0 (torso), 6..9
+# (legs)} — reference `training/dataset.py:2023` (`if ii == 0 or ii >= 6`).
+LOWER_PARTS_512 = (0, 6, 7, 8, 9)
+
+
+class RoutedPatches512(NamedTuple):
+    norm_img: jnp.ndarray  # [h, w, 30] 10 upper parts x 3ch
+    norm_img_lower: jnp.ndarray  # [h, w, 15] parts {0,6..9} x 3ch
+    denorm_upper_img: jnp.ndarray  # [H, W, 3]
+    denorm_lower_img: jnp.ndarray  # [H, W, 3]
+
+
+def route_patches_512_single(
+    upper_img: jnp.ndarray,  # [H, W, 3] region-selected upper source, [0,1]
+    lower_img: jnp.ndarray,  # [H, W, 3] region-selected lower source
+    upper_mask: jnp.ndarray,  # [H, W, 1]
+    lower_mask: jnp.ndarray,  # [H, W, 1]
+    M_upper: jnp.ndarray,  # [10, 3, 3] norm transforms for the upper source
+    valid_upper: jnp.ndarray,  # [10]
+    M_lower: jnp.ndarray,  # [10, 3, 3] norm transforms for the lower source
+    valid_lower: jnp.ndarray,  # [10]
+    M_inv: jnp.ndarray,  # [10, 3, 3] person denorm transforms
+    valid_inv: jnp.ndarray,  # [10]
+    box_factor: int = 2,
+) -> RoutedPatches512:
+    """One 512-test sample through `normalize_full/upper/lower`
+    (reference `training/dataset.py:1967-2194`).
+
+    The three change_region modes differ ONLY in which keypoint set builds
+    M_upper / M_lower (garment's vs person's) and which images feed
+    upper_img / lower_img — the warp pipeline is shared:
+
+    * all 10 parts norm-warp the upper source with M_upper (replicate border);
+    * parts {0, 6..9} norm-warp the lower source with M_lower (`:2023`);
+    * every patch denorm-warps with the person's M_inv, and ALL denorm masks
+      (upper and lower) are 5x5-eroded before the ==255 saturation test
+      (`:2015-2017`, unlike the 256 test path which erodes upper only);
+    * parts composite sequentially in loop order — lower follows (0,6,7,8,9).
+    """
+    H, W = upper_img.shape[0], upper_img.shape[1]
+    h, w = H >> box_factor, W >> box_factor
+    LP = list(LOWER_PARTS_512)
+    dtype = upper_img.dtype
+
+    vU = valid_upper.astype(dtype)[:, None, None, None]
+    srcU = jnp.concatenate([upper_img, upper_mask], axis=-1)  # [H,W,4]
+    warpedU = _warp_parts(srcU, M_upper, (h, w), "replicate") * vU  # [10,h,w,4]
+    part_imgs = warpedU[..., 0:3]
+    part_masks = warpedU[..., 3:4]
+
+    ML = M_lower[jnp.asarray(LP)]
+    vL = valid_lower[jnp.asarray(LP)].astype(dtype)[:, None, None, None]
+    srcL = jnp.concatenate([lower_img, lower_mask], axis=-1)
+    warpedL = _warp_parts(srcL, ML, (h, w), "replicate") * vL  # [5,h,w,4]
+    part_imgs_lower = warpedL[..., 0:3]
+    part_masks_lower = warpedL[..., 3:4]
+
+    # ---- denorm into the person frame; erode-then-saturate on every part.
+    dnU = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
+        warpedU, M_inv, (H, W), "constant"
+    )
+    gateU = valid_inv.astype(dtype)[:, None, None, None]
+    satU = (
+        erode_binary((dnU[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)) * gateU
+    )
+    denorm_upper = jnp.zeros_like(upper_img)
+    for p in range(NUM_PARTS):
+        denorm_upper = dnU[p, ..., 0:3] * satU[p] + denorm_upper * (1 - satU[p])
+
+    dnL = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
+        warpedL, M_inv[jnp.asarray(LP)], (H, W), "constant"
+    )
+    gateL = valid_inv[jnp.asarray(LP)].astype(dtype)[:, None, None, None]
+    satL = (
+        erode_binary((dnL[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)) * gateL
+    )
+    denorm_lower = jnp.zeros_like(lower_img)
+    for p in range(len(LP)):
+        denorm_lower = dnL[p, ..., 0:3] * satL[p] + denorm_lower * (1 - satL[p])
+
+    def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
+
+    return RoutedPatches512(
+        norm_img=stack_ch(part_imgs),
+        norm_img_lower=stack_ch(part_imgs_lower),
+        denorm_upper_img=denorm_upper,
+        denorm_lower_img=denorm_lower,
+    )
+
+
+@partial(jax.jit, static_argnames=("box_factor", "img_h", "pad_x", "change_region"))
+def route_patches_512_batch(
+    person_upper_img: jnp.ndarray,  # [B, H, W, 3] person's own upper clothes
+    person_lower_img: jnp.ndarray,  # person's own lower clothes
+    person_upper_mask: jnp.ndarray,  # [B, H, W, 1]
+    person_lower_mask: jnp.ndarray,
+    garment_upper_img: jnp.ndarray,  # garment person's upper clothes
+    garment_lower_img: jnp.ndarray,
+    garment_upper_mask: jnp.ndarray,
+    garment_lower_mask: jnp.ndarray,
+    person_keypoints: jnp.ndarray,  # [B, 18, 3]
+    garment_keypoints: jnp.ndarray,
+    change_region: str = "fullbody",
+    box_factor: int = 2,
+    img_h: Optional[int] = None,
+    pad_x: float = 96.0,
+) -> RoutedPatches512:
+    """Batched 512 region routing (reference `dataset.py:1679-1692`):
+
+    * fullbody:  upper <- garment (garment M), lower <- garment (garment M);
+    * upperbody: upper <- garment (garment M), lower <- person (person M);
+    * lowerbody: upper <- person (person M),   lower <- garment (garment M);
+    * denorm always via the person's M_inv.
+
+    The 512 get_crop has NO knee->ankle fallback (commented out at
+    `dataset.py:1894-1901`), so knee_fallbacks=False.
+    """
+    assert change_region in ("fullbody", "upperbody", "lowerbody")
+    H = img_h or person_upper_img.shape[1]
+    h = person_upper_img.shape[1] >> box_factor
+    w = person_upper_img.shape[2] >> box_factor
+    Mg, _, valid_g = part_transforms(
+        garment_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x
+    )
+    Mp, Mp_inv, valid_p = part_transforms(
+        person_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x
+    )
+    if change_region == "fullbody":
+        up_img, up_mask, M_up, v_up = garment_upper_img, garment_upper_mask, Mg, valid_g
+        lo_img, lo_mask, M_lo, v_lo = garment_lower_img, garment_lower_mask, Mg, valid_g
+    elif change_region == "upperbody":
+        up_img, up_mask, M_up, v_up = garment_upper_img, garment_upper_mask, Mg, valid_g
+        lo_img, lo_mask, M_lo, v_lo = person_lower_img, person_lower_mask, Mp, valid_p
+    else:  # lowerbody
+        up_img, up_mask, M_up, v_up = person_upper_img, person_upper_mask, Mp, valid_p
+        lo_img, lo_mask, M_lo, v_lo = garment_lower_img, garment_lower_mask, Mg, valid_g
+
+    return jax.vmap(partial(route_patches_512_single, box_factor=box_factor))(
+        up_img, lo_img, up_mask, lo_mask, M_up, v_up, M_lo, v_lo, Mp_inv, valid_p
+    )
+
+
 @partial(jax.jit, static_argnames=("box_factor", "img_h", "pad_x"))
 def route_patches_transfer_batch(
     garment_upper_img: jnp.ndarray,  # [B, H, W, 3] garment person's upper clothes
