@@ -145,6 +145,7 @@ class Generator512(nn.Module):
     channel_max: int = 512
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
+    pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
     style_input_nc: int = 45
     dtype: Any = jnp.float32
 
@@ -159,6 +160,7 @@ class Generator512(nn.Module):
             use_noise=self.use_noise,
             variant="full",
             start_res=8,
+            pack_tail=self.pack_tail,
             merge_min_res=32,
             dtype=self.dtype,
         )

@@ -44,6 +44,7 @@ class GeneratorFull(nn.Module):
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
     remat: bool = False  # rematerialize synthesis blocks (training memory)
+    pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
     # encoder kwargs
     style_input_nc: int = 10 * 3 + 4 * 3  # 42: ten upper patches + four lower patches
     dtype: Dtype = jnp.float32
@@ -58,6 +59,7 @@ class GeneratorFull(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             remat=self.remat,
+            pack_tail=self.pack_tail,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws

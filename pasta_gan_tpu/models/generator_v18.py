@@ -32,6 +32,7 @@ class GeneratorV18(nn.Module):
     channel_max: int = 512
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
+    pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
     style_input_nc: int = 30 * 2  # 60: norm patches + stickman patches
     dtype: Any = jnp.float32
 
@@ -45,6 +46,7 @@ class GeneratorV18(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             variant="v18",
+            pack_tail=self.pack_tail,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws

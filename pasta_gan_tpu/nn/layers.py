@@ -93,6 +93,7 @@ class Conv2dLayer(nn.Module):
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
     trainable: bool = True
+    packed: bool = False  # W-packed in/out (ops/packing.py); up=down=1 only
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -104,21 +105,31 @@ class Conv2dLayer(nn.Module):
             (k, k, self.in_channels, self.out_channels),
         )
         weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
-        f = jnp.asarray(_resample_filter_const(self.resample_filter))
-        x = conv2d_resample(
-            x.astype(self.dtype),
-            (w * weight_gain).astype(self.dtype),
-            f=f if (self.up > 1 or self.down > 1) else None,
-            up=self.up,
-            down=self.down,
-            padding=k // 2,
-            flip_weight=(self.up == 1),
-        )
+        if self.packed:
+            assert self.up == 1 and self.down == 1, "packed Conv2dLayer is same-res only"
+            from ..ops.packing import conv_packed_same, pack_vector
+
+            x = conv_packed_same(x.astype(self.dtype), (w * weight_gain).astype(self.dtype))
+        else:
+            f = jnp.asarray(_resample_filter_const(self.resample_filter))
+            x = conv2d_resample(
+                x.astype(self.dtype),
+                (w * weight_gain).astype(self.dtype),
+                f=f if (self.up > 1 or self.down > 1) else None,
+                up=self.up,
+                down=self.down,
+                padding=k // 2,
+                flip_weight=(self.up == 1),
+            )
         b = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias
             else None
         )
+        if self.packed and b is not None:
+            from ..ops.packing import pack_vector
+
+            b = pack_vector(b)
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
         return bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)

@@ -47,6 +47,8 @@ class SynthesisLayer(nn.Module):
     activation: str = "lrelu"
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
+    packed_in: bool = False  # x arrives W-packed (ops/packing.py)
+    packed_out: bool = False  # emit W-packed output
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,12 +70,13 @@ class SynthesisLayer(nn.Module):
         if self.use_noise and noise_mode != "none":
             noise_strength = self.param("noise_strength", nn.initializers.zeros, ())
             if noise_mode == "random":
+                shape = (
+                    (x.shape[0], self.resolution, self.resolution // 2, 2)
+                    if self.packed_out
+                    else (x.shape[0], self.resolution, self.resolution, 1)
+                )
                 noise = (
-                    jax.random.normal(
-                        self.make_rng("noise"),
-                        (x.shape[0], self.resolution, self.resolution, 1),
-                        self.dtype,
-                    )
+                    jax.random.normal(self.make_rng("noise"), shape, self.dtype)
                     * noise_strength.astype(self.dtype)
                 )
             else:  # const
@@ -84,7 +87,12 @@ class SynthesisLayer(nn.Module):
                         self.make_rng("params"), (self.resolution, self.resolution), jnp.float32
                     ),
                 )
-                noise = (noise_const.value * noise_strength).astype(self.dtype)[None, :, :, None]
+                noise = (noise_const.value * noise_strength).astype(self.dtype)
+                if self.packed_out:
+                    # exact repack of the unpacked buffer (pair columns)
+                    noise = noise.reshape(self.resolution, self.resolution // 2, 2)[None]
+                else:
+                    noise = noise[None, :, :, None]
 
         f = jnp.asarray(_resample_filter_const(self.resample_filter))
         x = modulated_conv2d(
@@ -96,8 +104,12 @@ class SynthesisLayer(nn.Module):
             padding=k // 2,
             resample_filter=f if self.up > 1 else None,
             flip_weight=(self.up == 1),
+            packed_in=self.packed_in,
+            packed_out=self.packed_out,
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if self.packed_out:
+            b = jnp.concatenate([b, b], axis=-1)
         act_gain = activation_funcs[self.activation].def_gain * gain
         act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
         return bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)
@@ -156,6 +168,7 @@ class ToRGBLayerFull(nn.Module):
     is_style: bool = False
     head_mode: Optional[str] = "parsing6"
     num_parsing_classes: int = 6
+    packed_in: bool = False  # x arrives W-packed; output unpacked (img domain)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,8 +213,13 @@ class ToRGBLayerFull(nn.Module):
 
         fused = jnp.concatenate(weights, axis=-1) if len(weights) > 1 else weights[0]
         y = modulated_conv2d(
-            x.astype(self.dtype), fused.astype(self.dtype), styles, demodulate=False
+            x.astype(self.dtype), fused.astype(self.dtype), styles, demodulate=False,
+            packed_in=self.packed_in, packed_out=self.packed_in,
         )
+        if self.packed_in:
+            from ..ops.packing import unpack_w
+
+            y = unpack_w(y)
         offs = np.cumsum(splits)
         img = bias_act(y[..., : offs[0]], b, axis=-1, clamp=self.conv_clamp)
 
@@ -231,6 +249,7 @@ class SynthesisBlockFull(nn.Module):
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
     use_noise: bool = True
+    packed: bool = False  # W-packed tail (<=64ch last blocks; ops/packing.py)
     dtype: Dtype = jnp.float32
 
     @property
@@ -290,22 +309,40 @@ class SynthesisBlockFull(nn.Module):
             w_idx += 1
             x = y + x
         else:
+            pk = self.packed and self.architecture == "skip"
             x = SynthesisLayer(
-                self.in_channels, self.out_channels, up=2, name="conv0", **layer_common
+                self.in_channels, self.out_channels, up=2, packed_out=pk,
+                name="conv0", **layer_common
             )(x.astype(self.dtype), ws[:, w_idx], noise_mode=noise_mode)
             w_idx += 1
-            x = SynthesisLayer(self.out_channels, self.out_channels, name="conv1", **layer_common)(
-                x, ws[:, w_idx], noise_mode=noise_mode
-            )
+            x = SynthesisLayer(
+                self.out_channels, self.out_channels, packed_in=pk, packed_out=pk,
+                name="conv1", **layer_common
+            )(x, ws[:, w_idx], noise_mode=noise_mode)
             w_idx += 1
             if self.resolution > self.merge_min_res:
                 feat = cat_feat[str(self.resolution)].astype(self.dtype)
-                x = jnp.concatenate([x, feat], axis=-1)
+                if pk:
+                    # phase-correct packed concat: [x0|f0, x1|f1] channel blocks
+                    from ..ops.packing import pack_w
+
+                    N, H, Wp, C2 = x.shape
+                    Cf = feat.shape[-1]
+                    x = jnp.concatenate(
+                        [
+                            x.reshape(N, H, Wp, 2, C2 // 2),
+                            pack_w(feat).reshape(N, H, Wp, 2, Cf),
+                        ],
+                        axis=-1,
+                    ).reshape(N, H, Wp, C2 + 2 * Cf)
+                else:
+                    x = jnp.concatenate([x, feat], axis=-1)
                 x = Conv2dLayer(
                     self.out_channels + feat.shape[-1],
                     self.out_channels,
                     1,
                     resample_filter=self.resample_filter,
+                    packed=pk,
                     dtype=self.dtype,
                     name="merge_conv",
                 )(x)
@@ -323,6 +360,7 @@ class SynthesisBlockFull(nn.Module):
                 is_last=self.is_last,
                 is_style=self.is_style,
                 head_mode=self.head_mode,
+                packed_in=self.packed and self.architecture == "skip" and self.in_channels != 0,
                 dtype=self.dtype,
                 name="torgb",
             )(x, ws[:, w_idx])
@@ -347,6 +385,7 @@ class SynthesisNetworkFull(nn.Module):
     start_res: int = 4  # the 512 cluster starts its pyramid at 8 (networks.py:3696)
     merge_min_res: int = 16
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs; SURVEY 7 hard-part 4)
+    pack_tail: bool = True  # W-pack <=64-channel last blocks (ops/packing.py; exact)
     dtype: Dtype = jnp.float32
 
     @property
@@ -382,6 +421,7 @@ class SynthesisNetworkFull(nn.Module):
             merge_min_res=self.merge_min_res,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
+            packed=self.pack_tail and is_last and self.channels(res) * 2 <= 128,
             dtype=self.dtype,
             name=name,
         )
@@ -447,6 +487,7 @@ class SynthesisNetworkFull(nn.Module):
             merge_min_res=self.merge_min_res,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
+            packed=self.pack_tail and self.channels(res) * 2 <= 128,
             dtype=self.dtype,
             name="texture_b256",
         )

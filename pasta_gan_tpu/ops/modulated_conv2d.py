@@ -40,11 +40,12 @@ import jax
 import jax.numpy as jnp
 
 from .conv2d_resample import conv2d_resample
+from .packing import conv_packed_same, conv_packed_up2, pack_vector
 
 
 def modulated_conv2d(
-    x: jax.Array,  # [N, H, W, I]
-    weight: jax.Array,  # [kh, kw, I, O] (HWIO)
+    x: jax.Array,  # [N, H, W, I] (packed_in: [N, H, W/2, 2I])
+    weight: jax.Array,  # [kh, kw, I, O] (HWIO) — always UNPACKED (checkpoint layout)
     styles: jax.Array,  # [N, I]
     noise: Optional[jax.Array] = None,  # broadcastable to the output
     up: int = 1,
@@ -56,11 +57,25 @@ def modulated_conv2d(
     fused_modconv: bool = False,  # accepted for parity; scaled-activation path always
     spade_styles: Optional[jax.Array] = None,  # [N, H, W, I] spatial styles (SPADE variant)
     prenorm_for_half: bool = True,
+    packed_in: bool = False,  # x is W-packed (ops/packing.py)
+    packed_out: bool = False,  # emit W-packed output
 ) -> jax.Array:
+    """W-packed modes (TPU lane/MXU utilization for <=64-channel tensors, see
+    ops/packing.py): supported combinations are (packed_in, packed_out) ==
+    (True, True) for up=down=1 convs, and (False, True) for the up=2 path
+    (the FIR low-pass folds into one lhs-dilated phase-split conv).  `noise`
+    in packed mode must broadcast against the packed output
+    ([N, H, W/2, 2] for per-pixel noise)."""
     del fused_modconv
     N = x.shape[0]
     kh, kw, in_channels, out_channels = weight.shape
-    assert x.shape[-1] == in_channels, (x.shape, weight.shape)
+    if packed_in:
+        assert up == 1 and down == 1 and spade_styles is None
+        assert x.shape[-1] == 2 * in_channels, (x.shape, weight.shape)
+    else:
+        assert x.shape[-1] == in_channels, (x.shape, weight.shape)
+    if packed_out and not packed_in:
+        assert up == 2 and down == 1 and not flip_weight and spade_styles is None
     assert styles.shape == (N, in_channels), (styles.shape, (N, in_channels))
 
     # Overflow pre-normalization for half-precision compute (networks.py:56-59).
@@ -86,21 +101,35 @@ def modulated_conv2d(
         # SPADE variant (networks.py:2033-2036): blend spatial and channel styles.
         assert spade_styles.shape == x.shape, (spade_styles.shape, x.shape)
         x = x * ((spade_styles.astype(x.dtype) + styles.astype(x.dtype)[:, None, None, :]) * 0.5)
+    elif packed_in:
+        x = x * pack_vector(styles).astype(x.dtype)[:, None, None, :]
     else:
         x = x * styles.astype(x.dtype)[:, None, None, :]
 
-    x = conv2d_resample(
-        x,
-        weight,
-        f=resample_filter,
-        up=up,
-        down=down,
-        padding=padding,
-        flip_weight=flip_weight,
-    )
+    if packed_in and packed_out:
+        x = conv_packed_same(x, weight)
+    elif packed_out:  # up=2 folded path (asserts above pin the convention)
+        assert resample_filter is not None and padding == kh // 2
+        x = conv_packed_up2(x, weight, resample_filter)
+    else:
+        x = conv2d_resample(
+            x,
+            weight,
+            f=resample_filter,
+            up=up,
+            down=down,
+            padding=padding,
+            flip_weight=flip_weight,
+        )
 
     if demodulate:
-        x = x * dcoefs.astype(x.dtype)[:, None, None, :]
+        d = pack_vector(dcoefs) if packed_out else dcoefs
+        x = x * d.astype(x.dtype)[:, None, None, :]
     if noise is not None:
-        x = x + noise.astype(x.dtype)
+        if packed_out and noise.shape[-1] == 2:
+            # per-pixel noise in packed layout: channel block j gets noise[..., j]
+            s = x.shape
+            x = (x.reshape(s[:-1] + (2, out_channels)) + noise.astype(x.dtype)[..., None]).reshape(s)
+        else:
+            x = x + noise.astype(x.dtype)
     return x
