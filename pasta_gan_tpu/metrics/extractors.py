@@ -86,7 +86,28 @@ class TorchScriptDetector:
             return self.model(x, **self.kwargs).numpy()
 
 
-def default_extractor(detector_path: Optional[str] = None, **kwargs) -> FeatureExtractor:
+def default_extractor(
+    detector_path: Optional[str] = None, jax_native: bool = True, **kwargs
+) -> FeatureExtractor:
+    """Pick the feature extractor.
+
+    With a detector file: the JAX-native InceptionV3 (TPU-jitted; weights
+    imported from a state_dict/TorchScript/npz file — metrics/inception.py)
+    unless `jax_native=False`, which forces the torch-CPU TorchScript adapter
+    (bit-true to the reference but slow).  Without a file: the offline
+    SimpleConvFeatures stand-in (NOT FID-comparable)."""
     if detector_path:
+        if jax_native:
+            try:
+                from .inception import InceptionV3Features
+
+                return InceptionV3Features.from_file(detector_path)
+            except Exception as e:  # not an inception graph (e.g. vgg16.pt)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "JAX-native import of %s failed (%s); using torch adapter",
+                    detector_path, e,
+                )
         return TorchScriptDetector(detector_path, **kwargs)
     return SimpleConvFeatures()
