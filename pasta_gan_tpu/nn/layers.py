@@ -93,7 +93,12 @@ class Conv2dLayer(nn.Module):
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
     trainable: bool = True
-    packed: bool = False  # W-packed in/out (ops/packing.py); up=down=1 only
+    # W-packing (ops/packing.py): None | "same" (packed in&out, up=down=1) |
+    # "out_stride" (unpacked in -> packed out, same res) | "in_down2"
+    # (packed in -> unpacked out, down=2).  packed_groups: with "same" k=1,
+    # the input is a plain concat of separately packed groups of these sizes.
+    pack_mode: Optional[str] = None
+    packed_groups: Optional[tuple] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -105,16 +110,36 @@ class Conv2dLayer(nn.Module):
             (k, k, self.in_channels, self.out_channels),
         )
         weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
-        if self.packed:
-            assert self.up == 1 and self.down == 1, "packed Conv2dLayer is same-res only"
-            from ..ops.packing import conv_packed_same, pack_vector
+        ws = (w * weight_gain).astype(self.dtype)
+        packed_out = self.pack_mode in ("same", "out_stride")
+        if self.pack_mode in ("same", "out_stride"):
+            assert self.up == 1 and self.down == 1, self.pack_mode
+            from ..ops import packing as pk
 
-            x = conv_packed_same(x.astype(self.dtype), (w * weight_gain).astype(self.dtype))
+            x = x.astype(self.dtype)
+            if self.pack_mode == "out_stride":
+                x = pk.conv_packed_out_stride(x, ws)
+            elif self.packed_groups is not None:
+                assert k == 1
+                wp = pk.pack_conv1_weights_grouped(ws, self.packed_groups)
+                x = jax.lax.conv_general_dilated(
+                    x, wp, (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                x = pk.conv_packed_same(x, ws)
+        elif self.pack_mode == "in_down2":
+            assert self.up == 1 and self.down == 2
+            from ..ops import packing as pk
+
+            f = jnp.asarray(_resample_filter_const(self.resample_filter))
+            x = pk.conv_packed_in_down2(x.astype(self.dtype), ws, f, flip_weight=True)
         else:
+            assert self.pack_mode is None, self.pack_mode
             f = jnp.asarray(_resample_filter_const(self.resample_filter))
             x = conv2d_resample(
                 x.astype(self.dtype),
-                (w * weight_gain).astype(self.dtype),
+                ws,
                 f=f if (self.up > 1 or self.down > 1) else None,
                 up=self.up,
                 down=self.down,
@@ -126,7 +151,7 @@ class Conv2dLayer(nn.Module):
             if self.use_bias
             else None
         )
-        if self.packed and b is not None:
+        if packed_out and b is not None:
             from ..ops.packing import pack_vector
 
             b = pack_vector(b)
@@ -150,24 +175,34 @@ class ResBlock(nn.Module):
     down: int = 1
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
+    # W-packing: None | "same" (packed in/out, up=down=1) | "in_down2"
+    # (packed in, down=2, unpacked out — conv1 runs unpacked at half res)
+    pack_mode: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.pack_mode == "same":
+            assert self.up == 1 and self.down == 1
+        elif self.pack_mode == "in_down2":
+            assert self.up == 1 and self.down == 2
         common = dict(
-            resample_filter=self.resample_filter, conv_clamp=self.conv_clamp, dtype=self.dtype
+            resample_filter=self.resample_filter, conv_clamp=self.conv_clamp,
+            dtype=self.dtype,
         )
+        pm_down = self.pack_mode  # skip/conv0 carry the down (or same) mode
+        pm_conv1 = "same" if self.pack_mode == "same" else None
         y = Conv2dLayer(
             self.in_channels, self.out_channels, 1, use_bias=False,
-            up=self.up, down=self.down, name="skip", **common,
+            up=self.up, down=self.down, pack_mode=pm_down, name="skip", **common,
         )(x, gain=math.sqrt(0.5))
         x = Conv2dLayer(
             self.in_channels, self.out_channels, 3, activation=self.activation,
-            up=self.up, down=self.down, name="conv0", **common,
+            up=self.up, down=self.down, pack_mode=pm_down, name="conv0", **common,
         )(x)
         x = Conv2dLayer(
             self.out_channels, self.out_channels, 3, activation=self.activation,
-            name="conv1", **common,
+            pack_mode=pm_conv1, name="conv1", **common,
         )(x, gain=math.sqrt(0.5))
         return y + x
 

@@ -323,18 +323,12 @@ class SynthesisBlockFull(nn.Module):
             if self.resolution > self.merge_min_res:
                 feat = cat_feat[str(self.resolution)].astype(self.dtype)
                 if pk:
-                    # phase-correct packed concat: [x0|f0, x1|f1] channel blocks
+                    # plain concat of separately packed tensors; the grouped
+                    # 1x1 weights absorb the block layout (no channel shuffle
+                    # — a 5-D interleave here cost ~3 ms of relayout copies)
                     from ..ops.packing import pack_w
 
-                    N, H, Wp, C2 = x.shape
-                    Cf = feat.shape[-1]
-                    x = jnp.concatenate(
-                        [
-                            x.reshape(N, H, Wp, 2, C2 // 2),
-                            pack_w(feat).reshape(N, H, Wp, 2, Cf),
-                        ],
-                        axis=-1,
-                    ).reshape(N, H, Wp, C2 + 2 * Cf)
+                    x = jnp.concatenate([x, pack_w(feat)], axis=-1)
                 else:
                     x = jnp.concatenate([x, feat], axis=-1)
                 x = Conv2dLayer(
@@ -342,7 +336,8 @@ class SynthesisBlockFull(nn.Module):
                     self.out_channels,
                     1,
                     resample_filter=self.resample_filter,
-                    packed=pk,
+                    pack_mode="same" if pk else None,
+                    packed_groups=(self.out_channels, feat.shape[-1]) if pk else None,
                     dtype=self.dtype,
                     name="merge_conv",
                 )(x)
@@ -493,11 +488,20 @@ class SynthesisNetworkFull(nn.Module):
         )
 
         ngf = 64
+        # Boundary-free W-packing of the 64ch@full-res stages: the 7x7 entry
+        # conv emits packed output via a stride-(1,2) phase kernel, the first
+        # ResBlock runs packed, and the down-ResBlock's skip/conv0 consume
+        # packed input with the FIR folded into stride-2 phase kernels —
+        # no pack/unpack relayout copies anywhere (ops/packing.py).
+        pk = self.pack_tail
         self.spade_encoder = nn.Sequential(
             [
-                Conv2dLayer(3, ngf, 7, activation="relu", dtype=self.dtype),
-                ResBlock(ngf, ngf, kernel_size=4, activation="relu", dtype=self.dtype),
-                ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2, dtype=self.dtype),
+                Conv2dLayer(3, ngf, 7, activation="relu",
+                            pack_mode="out_stride" if pk else None, dtype=self.dtype),
+                ResBlock(ngf, ngf, kernel_size=4, activation="relu",
+                         pack_mode="same" if pk else None, dtype=self.dtype),
+                ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2,
+                         pack_mode="in_down2" if pk else None, dtype=self.dtype),
             ]
         )
 

@@ -111,6 +111,21 @@ def modulated_conv2d(
     elif packed_out:  # up=2 folded path (asserts above pin the convention)
         assert resample_filter is not None and padding == kh // 2
         x = conv_packed_up2(x, weight, resample_filter)
+    elif (
+        up == 2 and down == 1 and not flip_weight and resample_filter is not None
+        and kh == 3 and kw == 3 and padding == 1
+        and resample_filter.shape == (4, 4)
+    ):
+        # Fold the FIR into the conv (one lhs-dilated 6x6 conv) instead of
+        # materializing the 2x-res in_channels upfirdn intermediate — the
+        # dominant HBM cost of every up-layer (ops/packing.py docstring).
+        from .packing import fold_up_weights
+
+        G = fold_up_weights(weight, resample_filter, gain=4.0)
+        x = jax.lax.conv_general_dilated(
+            x, G.astype(x.dtype), (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     else:
         x = conv2d_resample(
             x,

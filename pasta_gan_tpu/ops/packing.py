@@ -115,6 +115,83 @@ def pack_vector(v: jax.Array) -> jax.Array:
     return jnp.concatenate([v, v], axis=-1)
 
 
+def pack_conv1_weights_grouped(w: jax.Array, group_sizes) -> jax.Array:
+    """1x1 packed weights for a PLAIN concat of separately-packed tensors.
+
+    Input layout [g0_p0, g0_p1, g1_p0, g1_p1, ...] (concat of pack_w outputs)
+    instead of the phase-interleaved layout pack_conv_weights expects —
+    avoids the 5-D channel shuffle (measured ~3 ms of relayout copies at the
+    b256 merge).  w: [1, 1, sum(group_sizes), O] -> [1, 1, 2*sum, 2O]."""
+    _, _, I, O = w.shape
+    assert sum(group_sizes) == I, (group_sizes, I)
+    wp = jnp.zeros((1, 1, 2 * I, 2 * O), w.dtype)
+    off = 0
+    for s in group_sizes:
+        for b in (0, 1):
+            wp = wp.at[:, :, 2 * off + b * s : 2 * off + (b + 1) * s,
+                       b * O : (b + 1) * O].set(w[:, :, off : off + s])
+        off += s
+    return wp
+
+
+def conv_packed_out_stride(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Same-res conv from UNPACKED input emitting PACKED output.
+
+    Implemented as a stride-(1,2) conv with x-kernel k+1 (output phase b at
+    packed col X reads input cols 2X+b+dx): kernel[ky, b+dx+r, :, b-block] =
+    w[ky, dx+r].  x: [N, H, W, I]; w: [kh, kw, I, O] (kw odd) ->
+    [N, H, W/2, 2O]."""
+    kh, kw, I, O = (int(s) for s in w.shape)
+    r = kw // 2
+    wp = jnp.zeros((kh, kw + 1, I, 2 * O), w.dtype)
+    for b in (0, 1):
+        wp = wp.at[:, b : b + kw, :, b * O : (b + 1) * O].set(w)
+    return jax.lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (1, 2), ((kh // 2, kh // 2), (r, r + 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
+                         flip_weight: bool = True) -> jax.Array:
+    """FIR low-pass + stride-2 conv consuming PACKED input, UNPACKED output.
+
+    Folds the reference down path (conv2d_resample down=2: upfirdn(f, pad
+    px0=k//2+(fw-1)//2, px1=k//2+(fw-2)//2) then valid stride-2 conv) into
+    one kernel G = conv_full(w_eff, f_eff) of size K = k+fw-1:
+        y[v] = sum_s G[s] * x_unpacked[2v + s - px0]
+    and phase-splits s over the packed input (col 2(v+t)+a):
+        a = (s-px0) mod 2,  t = (s-px0-a)/2.
+    x: [N, H, Wp, 2I]; w: [k, k, I, O]; f: [fh, fw] -> [N, H/2, Wp, O]
+    (output width Wp == W/2: the downsampled, unpacked width).
+    """
+    kh, kw, I, O = (int(s) for s in w.shape)
+    fh, fw = int(f.shape[0]), int(f.shape[1])
+    Weff = (w if flip_weight else jnp.flip(w, axis=(0, 1))).astype(jnp.float32)
+    Ff = jnp.flip(f, axis=(0, 1)).astype(jnp.float32)  # flip_filter=False
+    Kx = kw + fw - 1
+    Ky = kh + fh - 1
+    G = jnp.zeros((Ky, Kx, I, O), jnp.float32)
+    for p in range(kh):
+        for q in range(kw):
+            G = G.at[p : p + fh, q : q + fw].add(Ff[:, :, None, None] * Weff[p, q])
+    px0 = kw // 2 + (fw - 1) // 2
+    px1 = kw // 2 + (fw - 2) // 2
+    py0 = kh // 2 + (fh - 1) // 2
+    py1 = kh // 2 + (fh - 2) // 2
+    ts = sorted({(s - px0 - ((s - px0) % 2)) // 2 for s in range(Kx)})
+    Kt = ts[-1] - ts[0] + 1
+    Gp = jnp.zeros((Ky, Kt, 2 * I, O), jnp.float32)
+    for s in range(Kx):
+        a = (s - px0) % 2
+        t = (s - px0 - a) // 2
+        Gp = Gp.at[:, t - ts[0], a * I : (a + 1) * I, :].add(G[:, s])
+    return jax.lax.conv_general_dilated(
+        x, Gp.astype(x.dtype), (2, 1), ((py0, py1), (-ts[0], Kt - 1 + ts[0])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_packed_same(x: jax.Array, w: jax.Array) -> jax.Array:
     """Same-resolution conv in the packed domain.
 
