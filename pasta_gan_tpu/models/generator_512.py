@@ -174,11 +174,12 @@ class Generator512(nn.Module):
         n_down = min(6, int(_math.log2(self.img_resolution)) - 3)  # 512 -> 6 (8x8 feat)
         self.const_encoding = ConstEncoderNetwork(
             input_nc=6, output_nc=self.synthesis.channels(8), ngf=64, n_downsampling=n_down,
+            pack_entry=self.pack_tail,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
             input_nc=self.style_input_nc, output_nc=512, ngf=64, extra_convs=0,
-            dtype=self.dtype,
+            pack_entry=self.pack_tail, dtype=self.dtype,
         )
 
     def encode_pose(self, pose):

@@ -82,10 +82,12 @@ class GeneratorFull(nn.Module):
             output_nc=self.synthesis.channels(4),
             ngf=64,
             n_downsampling=min(n_down, 6),
+            pack_entry=self.pack_tail,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
-            input_nc=self.style_input_nc, output_nc=512, ngf=64, dtype=self.dtype
+            input_nc=self.style_input_nc, output_nc=512, ngf=64,
+            pack_entry=self.pack_tail, dtype=self.dtype
         )
 
     # -- sub-network entry points (mirroring the reference's attribute access) --

