@@ -86,21 +86,28 @@ def _bilinear_core(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, border: s
 from functools import partial as _partial
 
 
-@_partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bilinear_sample(img, sx, sy, border: str):
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bilinear_sample(img, sx, sy, border: str, coord_grads: bool = True):
     """Bilinear sample with a hand-written VJP.
 
     The autodiff transpose of the patch gather is a scatter-add of
     OVERLAPPING (2,2,C) windows, which XLA serializes pathologically on TPU
-    (measured ~20x slower than the forward).  The custom backward instead
-    does four non-overlapping-window (1,1,C) scatter-adds — the classic
-    grid_sample gradient — and analytic coordinate gradients from the saved
-    patches.
+    (measured ~20x slower than the forward).  TPU scatter cost is dominated
+    by per-ROW latency (~45 ns/row regardless of payload width, measured),
+    so the backward does ONE scatter of all four tap contributions as a
+    [4C]-wide payload at the patch base index into per-tap planes, then
+    composites the planes with four dense shifted adds — 4x fewer scatter
+    rows than the classic four-tap grid_sample gradient (404 -> ~105 ms at
+    the ADA supersample size).
+
+    `coord_grads=False` skips the patch re-gather and the analytic dsx/dsy
+    (the ADA pipe's warp matrices derive from RNG draws, not parameters, so
+    their gradients are never consumed — saves a forward-sized gather).
     """
     return _bilinear_core(img, sx, sy, border)[0]
 
 
-def _bilinear_fwd(img, sx, sy, border):
+def _bilinear_fwd(img, sx, sy, border, coord_grads):
     out, (patches, fx, fy, y0i, x0i, outside) = _bilinear_core(img, sx, sy, border)
     # patches are NOT saved (they 4x the activation memory across the many
     # augment applications per step — measured HBM OOM); the backward
@@ -108,17 +115,10 @@ def _bilinear_fwd(img, sx, sy, border):
     return out, (img, fx, fy, y0i, x0i, outside)
 
 
-def _bilinear_bwd(border, res, g):
+def _bilinear_bwd(border, coord_grads, res, g):
     img, fx, fy, y0i, x0i, outside = res
     H, W, C = img.shape
     dtype = img.dtype
-    if border == "replicate":
-        imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
-        offset = 0
-    else:
-        imgp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
-        offset = 1
-    patches = _gather_patches(imgp, y0i, x0i, offset, y0i.shape, C)
     if outside is not None:
         g = jnp.where(outside[..., None], jnp.zeros_like(g), g)
 
@@ -127,22 +127,41 @@ def _bilinear_bwd(border, res, g):
     w10 = (1 - fx) * fy
     w11 = fx * fy
 
-    dimg = jnp.zeros((H, W, C), g.dtype)
-    for dy, dx, w in ((0, 0, w00), (0, 1, w01), (1, 0, w10), (1, 1, w11)):
-        yi = y0i + dy
-        xi = x0i + dx
-        if border == "replicate":
-            yc = jnp.clip(yi, 0, H - 1)
-            xc = jnp.clip(xi, 0, W - 1)
-            contrib = g * w
-        else:
-            inside = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))[..., None]
-            yc = jnp.clip(yi, 0, H - 1)
-            xc = jnp.clip(xi, 0, W - 1)
-            contrib = jnp.where(inside, g * w, jnp.zeros_like(g))
-        dimg = dimg.at[yc, xc].add(contrib)
+    # ---- image gradient: one plane-scatter + dense composition.
+    # Planes P[tap] hold contributions for target (y0+dy, x0+dx) at base
+    # index (y0+1, x0+1) in a pad-extended buffer (base in [-1, H] for the
+    # constant border; out-of-image targets land in pad cells never read).
+    payload = jnp.concatenate([g * w00, g * w01, g * w10, g * w11], axis=-1)
+    P = jnp.zeros((H + 3, W + 3, 4 * C), g.dtype)
+    P = P.at[y0i + 1, x0i + 1].add(payload)
+    P = P.reshape(H + 3, W + 3, 4, C)
+    # dimg[r, c] = sum_taps P[tap][r - dy + 1, c - dx + 1]
+    dimg = (
+        P[1 : H + 1, 1 : W + 1, 0]
+        + P[1 : H + 1, 0:W, 1]
+        + P[0:H, 1 : W + 1, 2]
+        + P[0:H, 0:W, 3]
+    )
+    if border == "replicate":
+        # clip semantics: taps that fell one past the edge add to the edge
+        # (sx,sy were clamped to [0, size-1], so only the +1 side can spill)
+        dimg = dimg.at[H - 1, :].add(P[H + 1, 1 : W + 1, 2] + P[H + 1, 0:W, 3])
+        dimg = dimg.at[:, W - 1].add(P[1 : H + 1, W + 1, 1] + P[0:H, W + 1, 3])
+        dimg = dimg.at[H - 1, W - 1].add(P[H + 1, W + 1, 3])
 
-    # coordinate gradients from the saved patches (elementwise)
+    if not coord_grads:
+        zero = jnp.zeros_like(fx[..., 0])
+        return dimg.astype(dtype), zero, zero
+
+    if border == "replicate":
+        imgp = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+        offset = 0
+    else:
+        imgp = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+        offset = 1
+    patches = _gather_patches(imgp, y0i, x0i, offset, y0i.shape, C)
+
+    # coordinate gradients from the re-gathered patches (elementwise)
     dfx = (
         (patches[..., 0, 1, :] - patches[..., 0, 0, :]) * (1 - fy)
         + (patches[..., 1, 1, :] - patches[..., 1, 0, :]) * fy
@@ -167,8 +186,12 @@ def warp_perspective_inv(
     Minv: jnp.ndarray,  # [3, 3] mapping dst pixel -> src pixel directly
     out_hw: tuple[int, int],
     border: str = "constant",
+    coord_grads: bool = True,
 ) -> jnp.ndarray:
-    """Warp with an explicit dst->src matrix (no inversion)."""
+    """Warp with an explicit dst->src matrix (no inversion).
+
+    `coord_grads=False` when Minv never needs gradients (e.g. the ADA pipe,
+    whose matrices are RNG draws) — skips the backward's patch re-gather."""
     h, w = out_hw
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -177,7 +200,10 @@ def warp_perspective_inv(
     denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
     sx = (Minv[0, 0] * gx + Minv[0, 1] * gy + Minv[0, 2]) / denom
     sy = (Minv[1, 0] * gx + Minv[1, 1] * gy + Minv[1, 2]) / denom
-    return _bilinear_sample(img, sx, sy, border)
+    if not coord_grads:
+        sx = jax.lax.stop_gradient(sx)
+        sy = jax.lax.stop_gradient(sy)
+    return _bilinear_sample(img, sx, sy, border, coord_grads)
 
 
 def warp_perspective(
@@ -253,44 +279,41 @@ def route_patches_single(
     )
 
     # ---- denorm: re-project each patch, keep only saturated-mask pixels,
-    #      composite sequentially (later parts overwrite).
-    denorm_patches = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        part_imgs, M_inv, (H, W), "constant"
-    )
-    denorm_mask_patches = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        part_masks, M_inv, (H, W), "constant"
-    )
-    denorm_sat = (denorm_mask_patches[..., :1] >= MASK_SATURATION_THRESHOLD).astype(
-        upper_img.dtype
-    )
-    if erode_upper:
-        denorm_sat = denorm_sat.at[:LOWER_PART_START].set(
-            erode_binary(denorm_sat[:LOWER_PART_START])
+    #      composite sequentially (later parts overwrite).  Parts are warped
+    #      ONE AT A TIME inside the composite chain: a vmap over all 10
+    #      parts materializes the full-res (2,2,C) patch gather for every
+    #      part at once, which XLA lane-pads C=3 -> 128 (measured 21 GB at
+    #      batch 16 — an HBM OOM); the sequential chain bounds peak memory
+    #      to one part.
+    def _denorm_part(img_p, mask_p, Minv_p, erode: bool):
+        dn = warp_perspective(
+            jnp.concatenate([img_p, mask_p[..., :1]], axis=-1), Minv_p, (H, W), "constant"
         )
-    denorm_valid = denorm_sat * dmask  # [10, H, W, 1]
+        sat = (dn[..., -1:] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
+        if erode:
+            sat = erode_binary(sat)
+        return dn[..., :-1], sat
 
     denorm_upper = jnp.zeros_like(upper_img)
+    hand_masks_list = {}
     for p in range(NUM_PARTS):
-        denorm_upper = denorm_patches[p] * denorm_valid[p] + denorm_upper * (1 - denorm_valid[p])
+        dn_img, sat = _denorm_part(
+            part_imgs[p], part_masks[p], M_inv[p], erode_upper and p < LOWER_PART_START
+        )
+        valid_p = sat * dmask[p]
+        denorm_upper = dn_img * valid_p + denorm_upper * (1 - valid_p)
+        if p in HAND_PARTS:
+            hand_masks_list[p] = valid_p
 
-    denorm_patches_lower = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        part_imgs_lower, M_inv[LOWER_PART_START:], (H, W), "constant"
-    )
-    denorm_mask_patches_lower = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        part_masks_lower, M_inv[LOWER_PART_START:], (H, W), "constant"
-    )
-    denorm_valid_lower = (
-        (denorm_mask_patches_lower[..., :1] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
-        * dmask[LOWER_PART_START:]
-    )
     denorm_lower = jnp.zeros_like(lower_img)
     for p in range(NUM_PARTS - LOWER_PART_START):
-        denorm_lower = (
-            denorm_patches_lower[p] * denorm_valid_lower[p]
-            + denorm_lower * (1 - denorm_valid_lower[p])
+        dn_img, sat = _denorm_part(
+            part_imgs_lower[p], part_masks_lower[p], M_inv[LOWER_PART_START + p], False
         )
+        valid_p = sat * dmask[LOWER_PART_START + p]
+        denorm_lower = dn_img * valid_p + denorm_lower * (1 - valid_p)
 
-    hand_masks = jnp.stack([denorm_valid[p] for p in HAND_PARTS], axis=0)  # [4,H,W,1]
+    hand_masks = jnp.stack([hand_masks_list[p] for p in HAND_PARTS], axis=0)  # [4,H,W,1]
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
@@ -412,21 +435,28 @@ def route_patches_v19_single(
     part_masks = warped[..., 6:7]
 
     # Denorm: re-project image+mask into the person frame, saturation-gate.
-    dn = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        jnp.concatenate([part_imgs, part_masks], axis=-1), Mp_inv, (H, W), "constant"
-    )  # [10, H, W, 4]
-    dn_img = dn[..., 0:3]
-    sat = (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(g_upper_img.dtype)
+    # One part at a time inside the composite chain (full-res patch gathers
+    # for all 10 parts at once lane-pad C=3 -> 128: 21 GB at batch 16).
     dn_valid_gate = valid_p.astype(g_upper_img.dtype)[:, None, None, None]
-    sat_upper = erode_binary(sat[:L]) * dn_valid_gate[:L]
-    sat_lower = sat[L:] * dn_valid_gate[L:]
+
+    def _dn(p, erode):
+        dn = warp_perspective(
+            jnp.concatenate([part_imgs[p], part_masks[p]], axis=-1),
+            Mp_inv[p], (H, W), "constant",
+        )
+        sat = (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(g_upper_img.dtype)
+        if erode:
+            sat = erode_binary(sat)
+        return dn[..., 0:3], sat * dn_valid_gate[p]
 
     denorm_upper = jnp.zeros_like(g_upper_img)
     for p in range(L):
-        denorm_upper = dn_img[p] * sat_upper[p] + denorm_upper * (1 - sat_upper[p])
+        dn_img, sat_p = _dn(p, erode=True)
+        denorm_upper = dn_img * sat_p + denorm_upper * (1 - sat_p)
     denorm_lower = jnp.zeros_like(p_lower_img)
-    for p in range(NUM_PARTS - L):
-        denorm_lower = dn_img[L + p] * sat_lower[p] + denorm_lower * (1 - sat_lower[p])
+    for p in range(L, NUM_PARTS):
+        dn_img, sat_p = _dn(p, erode=False)
+        denorm_lower = dn_img * sat_p + denorm_lower * (1 - sat_p)
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
@@ -538,27 +568,25 @@ def route_patches_512_single(
     part_masks_lower = warpedL[..., 3:4]
 
     # ---- denorm into the person frame; erode-then-saturate on every part.
-    dnU = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        warpedU, M_inv, (H, W), "constant"
-    )
-    gateU = valid_inv.astype(dtype)[:, None, None, None]
-    satU = (
-        erode_binary((dnU[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)) * gateU
-    )
+    # Sequential per-part warps inside the composite chain (memory: see
+    # route_patches_single).
+    def _dn(warped_p, Minv_p, gate_p):
+        dn = warp_perspective(warped_p, Minv_p, (H, W), "constant")
+        sat = erode_binary(
+            (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)
+        ) * gate_p
+        return dn[..., 0:3], sat
+
+    gateU = valid_inv.astype(dtype)
     denorm_upper = jnp.zeros_like(upper_img)
     for p in range(NUM_PARTS):
-        denorm_upper = dnU[p, ..., 0:3] * satU[p] + denorm_upper * (1 - satU[p])
+        dn_img, sat_p = _dn(warpedU[p], M_inv[p], gateU[p])
+        denorm_upper = dn_img * sat_p + denorm_upper * (1 - sat_p)
 
-    dnL = jax.vmap(warp_perspective, in_axes=(0, 0, None, None))(
-        warpedL, M_inv[jnp.asarray(LP)], (H, W), "constant"
-    )
-    gateL = valid_inv[jnp.asarray(LP)].astype(dtype)[:, None, None, None]
-    satL = (
-        erode_binary((dnL[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)) * gateL
-    )
     denorm_lower = jnp.zeros_like(lower_img)
-    for p in range(len(LP)):
-        denorm_lower = dnL[p, ..., 0:3] * satL[p] + denorm_lower * (1 - satL[p])
+    for i, p in enumerate(LP):
+        dn_img, sat_p = _dn(warpedL[i], M_inv[p], valid_inv[p].astype(dtype))
+        denorm_lower = dn_img * sat_p + denorm_lower * (1 - sat_p)
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)

@@ -389,8 +389,8 @@ class AugmentPipe:
         Ninv_in = t2(-0.5, -0.5) @ s2(Wu / 2, Hu / 2) @ t2(1, 1)
         A = Ninv_in @ G @ N_out  # [N,3,3]
 
-        warped = jax.vmap(warp_perspective_inv, in_axes=(0, 0, None, None))(
-            images, A, (Ho, Wo), "constant"
+        warped = jax.vmap(warp_perspective_inv, in_axes=(0, 0, None, None, None))(
+            images, A, (Ho, Wo), "constant", False  # coord_grads: A is RNG-derived
         )
         # Downsample and crop (augment.py:301)
         return downsample2d(warped, Hz_geom, down=2, padding=-Hz_pad * 2, flip_filter=True)
