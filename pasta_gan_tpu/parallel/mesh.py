@@ -28,14 +28,33 @@ def data_parallel_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch with leading dim divisible by mesh size onto devices."""
+    """Place a host batch onto the data axis of the mesh.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed): each
+    process passes its LOCAL 1/world of the global batch (rank-strided by
+    InfiniteLoader) and a global array is assembled from the process-local
+    shards — the TPU-native equivalent of the reference's per-rank
+    DataLoader + DDP input split (`torch_utils/misc.py:115-146`)."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    # multi-process: every process supplies the identical full value
+    return jax.tree_util.tree_map(
+        lambda v: jax.make_array_from_process_local_data(
+            sharding, np.asarray(v), np.shape(v)
+        ),
+        tree,
+    )
 
 
 def make_sharded_train_step(step_fn, mesh: Mesh):
@@ -53,6 +72,19 @@ def make_sharded_train_step(step_fn, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def local_value(tree):
+    """Host-read a (replicated) pytree in multi-process runs.
+
+    `jax.device_get` refuses non-fully-addressable arrays; for replicated
+    state every process can read its first local shard instead."""
+    def _leaf(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return np.asarray(a.addressable_data(0))
+        return np.asarray(a)
+
+    return jax.tree_util.tree_map(_leaf, tree)
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):

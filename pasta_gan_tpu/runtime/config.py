@@ -111,6 +111,9 @@ class TrainConfig:
     image_snapshot_ticks: int = 50
     network_snapshot_ticks: int = 50
     random_seed: int = 0
+    # host input pipeline: decode workers per process (reference train.sh
+    # uses --workers 3 per GPU; DataLoader num_workers)
+    data_workers: int = 3
     # numerical policy
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     grad_clip_posinf: float = 1e5  # reference nan_to_num scrubbing bounds

@@ -21,39 +21,81 @@ import numpy as np
 from ..data.dataset import collate, prepare_train_batch
 from ..io.checkpoints import restore_train_state, save_snapshot, save_train_state
 from ..parallel import data_parallel_mesh, make_sharded_train_step, replicate, shard_batch
+from ..parallel.mesh import local_value
 from ..runtime.config import TrainConfig, to_json
 from ..runtime.stats import Collector, JsonlLogger
 from .step import GANTrainer
 
 
 class InfiniteLoader:
-    """Infinite shuffled host-side loader with a prefetch thread
-    (reference `misc.InfiniteSampler` + DataLoader workers)."""
+    """Infinite shuffled host-side loader with multi-worker prefetch.
 
-    def __init__(self, dataset, batch_size: int, seed: int = 0, prefetch: int = 4):
+    Counterpart of the reference's `misc.InfiniteSampler` rank striding
+    (`torch_utils/misc.py:115-146`) + DataLoader workers: every process draws
+    the SAME shared-seed permutation stream and takes elements
+    `rank::world` — each host decodes only its 1/world of the global batch.
+    `batch_size` here is the PER-PROCESS batch.  Decode workers parallelize
+    whole batches (deterministic order: worker w builds batches b with
+    b % num_workers == w; emission is re-serialized by batch index)."""
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0, prefetch: int = 4,
+                 rank: int = 0, world: int = 1, num_workers: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self.rank = rank
+        self.world = world
+        self.num_workers = max(1, num_workers)
+        self._results: dict = {}
+        self._lock = threading.Condition()
+        self._next_emit = 0
+        self._max_buffer = prefetch + self.num_workers
+        for w in range(self.num_workers):
+            threading.Thread(target=self._worker, args=(w,), daemon=True).start()
 
-    def _indices(self):
-        rng = np.random.default_rng(self.seed)
+    def _batch_indices(self, b: int):
+        """Global indices of per-process batch b (deterministic in (seed, b))."""
         n = len(self.dataset)
-        while True:
-            order = rng.permutation(n)
-            for i in order:
-                yield int(i)
+        out = []
+        # epoch-wise permutations; rank r takes stream positions r::world
+        global_bs = self.batch_size * self.world
+        start = b * global_bs
+        # materialize only the needed epochs
+        first_epoch = start // n
+        # regenerate permutations up to the needed epoch window
+        perms = {}
 
-    def _worker(self):
-        it = self._indices()
+        def perm(e):
+            if e not in perms:
+                r = np.random.default_rng((self.seed, e))
+                perms[e] = r.permutation(n)
+            return perms[e]
+
+        for j in range(self.batch_size):
+            pos = start + j * self.world + self.rank
+            out.append(int(perm(pos // n)[pos % n]))
+        return out
+
+    def _worker(self, wid: int):
+        b = wid
         while True:
-            samples = [self.dataset[next(it)] for _ in range(self.batch_size)]
-            self._q.put(collate(samples))
+            idx = self._batch_indices(b)
+            batch = collate([self.dataset[i] for i in idx])
+            with self._lock:
+                while b > self._next_emit + self._max_buffer:
+                    self._lock.wait()
+                self._results[b] = batch
+                self._lock.notify_all()
+            b += self.num_workers
 
     def __next__(self):
-        return self._q.get()
+        with self._lock:
+            while self._next_emit not in self._results:
+                self._lock.wait()
+            batch = self._results.pop(self._next_emit)
+            self._next_emit += 1
+            self._lock.notify_all()
+            return batch
 
 
 def training_loop(
@@ -82,8 +124,19 @@ def training_loop(
     axis_name = "data" if use_mesh else None
     trainer = GANTrainer(config, vgg_params=vgg_params, axis_name=axis_name)
 
-    loader = InfiniteLoader(dataset, config.batch_size, seed=config.random_seed)
+    # Multi-host: each process decodes its rank-strided 1/world of the global
+    # batch (reference InfiniteSampler striding, torch_utils/misc.py:115-146).
+    rank, world = jax.process_index(), jax.process_count()
+    is_main = rank == 0
+    assert config.batch_size % world == 0, (config.batch_size, world)
+    loader = InfiniteLoader(
+        dataset, config.batch_size // world, seed=config.random_seed,
+        rank=rank, world=world, num_workers=config.data_workers,
+    )
     rng = jax.random.PRNGKey(config.random_seed)
+    # device_get fails on non-fully-addressable (multi-host) arrays; read the
+    # local replica instead
+    get = jax.device_get if world == 1 else local_value
 
     # Init / resume.
     host_batch = next(loader)
@@ -106,16 +159,17 @@ def training_loop(
         pl_fn = jax.jit(trainer.g_pl_step, donate_argnums=(0,)) if use_pl else None
 
     collector = Collector()
-    jsonl = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
+    jsonl = JsonlLogger(os.path.join(run_dir, "stats.jsonl")) if is_main else None
 
     # Optional TensorBoard events (reference training loop :402-405,632-639).
     tb_writer = None
-    try:
-        import tensorflow as _tf
+    if is_main:
+        try:
+            import tensorflow as _tf
 
-        tb_writer = _tf.summary.create_file_writer(run_dir)
-    except Exception:
-        pass
+            tb_writer = _tf.summary.create_file_writer(run_dir)
+        except Exception:
+            pass
 
     # Fixed snapshot batch for visual-regression grids (reference
     # setup_snapshot_image_grid, training loop :109-178,579-584).
@@ -124,14 +178,15 @@ def training_loop(
     snap_batch = jax.device_get(prepare_train_batch(snap_host, jax.random.PRNGKey(1234)))
     from ..utils import save_image_grid
 
-    save_image_grid(snap_batch["real_img"], os.path.join(run_dir, "reals.png"))
-    save_image_grid(
-        snap_batch["denorm_upper_img"], os.path.join(run_dir, "init_denorm_upper.png")
-    )
-    save_image_grid(
-        snap_batch["denorm_lower_img"], os.path.join(run_dir, "init_denorm_lower.png")
-    )
-    save_image_grid(snap_batch["retain"], os.path.join(run_dir, "init_retain.png"))
+    if is_main:
+        save_image_grid(snap_batch["real_img"], os.path.join(run_dir, "reals.png"))
+        save_image_grid(
+            snap_batch["denorm_upper_img"], os.path.join(run_dir, "init_denorm_upper.png")
+        )
+        save_image_grid(
+            snap_batch["denorm_lower_img"], os.path.join(run_dir, "init_denorm_lower.png")
+        )
+        save_image_grid(snap_batch["retain"], os.path.join(run_dir, "init_retain.png"))
 
     _snapshot_forward = None
 
@@ -151,10 +206,11 @@ def training_loop(
                 return ft
 
             _snapshot_forward = fwd
-        fakes = jax.device_get(_snapshot_forward(state.g_ema_params, snap_batch))
-        save_image_grid(fakes, os.path.join(run_dir, f"fakes{tag}.png"))
+        fakes = get(_snapshot_forward(local_value(state.g_ema_params), snap_batch))
+        if is_main:
+            save_image_grid(fakes, os.path.join(run_dir, f"fakes{tag}.png"))
 
-    cur_nimg = int(jax.device_get(state.step)) * config.batch_size
+    cur_nimg = int(get(state.step)) * config.batch_size
     cur_tick = 0
     tick_start_nimg = cur_nimg
     start_time = time.time()
@@ -168,19 +224,22 @@ def training_loop(
 
     while True:
         host_batch = next(loader)
-        rng, data_rng, step_rng, r1_rng = jax.random.split(rng, 4)
-        batch = prepare_train_batch(host_batch, data_rng)
+        # independent streams for PL vs R1 (a shared key correlated the two
+        # regularizers' noise); data_rng folds in the process rank so random
+        # erasure draws differ across hosts
+        rng, data_rng, step_rng, r1_rng, pl_rng = jax.random.split(rng, 5)
+        batch = prepare_train_batch(host_batch, jax.random.fold_in(data_rng, rank))
         if use_mesh:
             batch = shard_batch(jax.device_get(batch), mesh)
 
         state, stats = step_fn(state, batch, step_rng)
         if pl_fn is not None and (batch_idx % g_reg_interval == 0):
-            state, pl_stats = pl_fn(state, batch, r1_rng)
+            state, pl_stats = pl_fn(state, batch, pl_rng)
             stats = {**stats, **pl_stats}
         if d_reg_interval and (batch_idx % d_reg_interval == 0):
             state, r1_stats = r1_fn(state, batch, r1_rng)
             stats = {**stats, **r1_stats}
-        collector.report_dict(jax.device_get(stats))
+        collector.report_dict(get(stats))
 
         cur_nimg += config.batch_size
         batch_idx += 1
@@ -196,7 +255,7 @@ def training_loop(
         collector.update()
         sec_per_tick = tick_end - tick_start_time
         sec_per_kimg = sec_per_tick / max((cur_nimg - tick_start_nimg) / 1000.0, 1e-8)
-        if verbose:
+        if verbose and is_main:
             print(
                 f"tick {cur_tick:<5d} kimg {cur_nimg / 1e3:<8.1f} "
                 f"time {tick_end - start_time:<8.1f}s sec/tick {sec_per_tick:<7.1f} "
@@ -205,16 +264,17 @@ def training_loop(
                 f"G/loss {collector.mean('Loss/G/loss'):.3f} "
                 f"D/loss {collector.mean('Loss/D/loss'):.3f}"
             )
-        jsonl.write(
-            collector,
-            **{
-                "Progress/tick": cur_tick,
-                "Progress/kimg": cur_nimg / 1e3,
-                "Timing/sec_per_tick": sec_per_tick,
-                "Timing/sec_per_kimg": sec_per_kimg,
-                "Timing/total_sec": tick_end - start_time,
-            },
-        )
+        if jsonl is not None:
+            jsonl.write(
+                collector,
+                **{
+                    "Progress/tick": cur_tick,
+                    "Progress/kimg": cur_nimg / 1e3,
+                    "Timing/sec_per_tick": sec_per_tick,
+                    "Timing/sec_per_kimg": sec_per_kimg,
+                    "Timing/total_sec": tick_end - start_time,
+                },
+            )
         if tb_writer is not None:
             with tb_writer.as_default():
                 import tensorflow as _tf
@@ -238,14 +298,17 @@ def training_loop(
                 check_replication_consistency(state.g_params, mesh)
                 check_replication_consistency(state.d_params, mesh)
             snap_dir = os.path.join(run_dir, f"network-snapshot-{cur_nimg // 1000:06d}")
-            save_snapshot(
-                snap_dir,
-                jax.device_get(state.g_ema_params),
-                jax.device_get(state.w_avg),
-                to_json(config),
-            )
-            save_train_state(os.path.join(run_dir, "train-state-latest"), state)
-            if verbose:
+            if is_main:
+                save_snapshot(
+                    snap_dir,
+                    get(state.g_ema_params),
+                    get(state.w_avg),
+                    to_json(config),
+                )
+                save_train_state(
+                    os.path.join(run_dir, "train-state-latest"), local_value(state)
+                )
+            if verbose and is_main:
                 print(f"  saved {snap_dir}")
 
         cur_tick += 1
@@ -254,5 +317,6 @@ def training_loop(
         if done:
             break
 
-    jsonl.close()
+    if jsonl is not None:
+        jsonl.close()
     return state

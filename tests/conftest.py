@@ -23,3 +23,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration test")
