@@ -5,10 +5,15 @@ step.  This framework's generators are conditioned on style codes rather than
 free latents (z_dim=0 in the config of record), so PPL is computed in
 **w-space between the mapped codes of two data samples** (`sampling='end'`
 uses t=0, `'full'` t~U(0,1); reference ppl2_wend == w-space, full-path,
-epsilon 1e-4, crop).  The distance network is pluggable; without the
-reference's proprietary LPIPS-VGG16 weights we default to a feature-space L2
-over the framework's VGG19 taps (documented substitution — comparable
-relative orderings, different absolute scale).
+epsilon 1e-4, crop).  The distance network is pluggable:
+
+* `lpips_distance(state_dict)` — the reference's actual distance
+  (LPIPS-VGG16, `perceptual_path_length.py:86-95`) via the JAX-native
+  embedding in metrics/vgg16.py; supply vgg16 weights (+ lin heads for the
+  published calibration),
+* `vgg_feature_distance(vgg_params)` — offline fallback over the
+  framework's VGG19 taps (documented substitution — comparable relative
+  orderings, different absolute scale).
 """
 
 from __future__ import annotations
@@ -45,6 +50,24 @@ def vgg_feature_distance(vgg_params):
         for x, y in zip(fa, fb):
             total = total + jnp.mean(jnp.square(x - y), axis=(1, 2, 3))
         return total
+
+    return dist
+
+
+def lpips_distance(state_dict):
+    """LPIPS-VGG16 squared distance per sample (the reference PPL metric's
+    distance, `perceptual_path_length.py:86-95`).  `state_dict`: torchvision
+    vgg16 weights (+ optional lin0..lin4 heads).  Input convention matches
+    the embedding contract: images in [0, 255] are rescaled to [-1, 1]."""
+    from .vgg16 import LPIPSFeatures
+
+    model = LPIPSFeatures.from_state_dict(state_dict)
+
+    @jax.jit
+    def dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        fa = model._forward(a / 127.5 - 1.0)
+        fb = model._forward(b / 127.5 - 1.0)
+        return jnp.sum(jnp.square(fa - fb), axis=-1)
 
     return dist
 
