@@ -221,4 +221,8 @@ def part_transforms(
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape)
     M = jnp.where(valid[..., None, None], M, eye)
     M_inv = jnp.where(valid[..., None, None], M_inv, eye)
+    # Materialize: without a barrier XLA fuses the 8x8 DLT solve into the
+    # per-pixel warp coordinate computation downstream and re-evaluates it
+    # per tile (measured: the batched norm warps ran ~2 s instead of ~25 ms).
+    M, M_inv = jax.lax.optimization_barrier((M, M_inv))
     return M, M_inv, valid

@@ -213,7 +213,9 @@ def warp_perspective(
     border: str = "constant",
 ) -> jnp.ndarray:
     """cv2.warpPerspective(img, M, (w, h)) with bilinear interpolation."""
-    return warp_perspective_inv(img, jnp.linalg.inv(M), out_hw, border)
+    # barrier: keep the 3x3 inverse out of the per-pixel coordinate fusion
+    Minv = jax.lax.optimization_barrier(jnp.linalg.inv(M))
+    return warp_perspective_inv(img, Minv, out_hw, border)
 
 
 # vmap over the 10 parts (matrices differ, image shared).
@@ -266,17 +268,21 @@ def route_patches_single(
     vmask_lower = valid_lower.astype(upper_img.dtype)[:, None, None, None]
     dmask = denorm_valid.astype(upper_img.dtype)[:, None, None, None]
 
-    # ---- norm: image + clothes-mask patches, BORDER_REPLICATE
-    part_imgs = _warp_parts(upper_img, M, (h, w), "replicate") * vmask
-    part_masks = _warp_parts(upper_clothes_mask, M, (h, w), "replicate") * vmask
-    part_imgs_lower = (
-        _warp_parts(lower_img, M_lower[LOWER_PART_START:], (h, w), "replicate")
+    # ---- norm: image + clothes-mask patches, BORDER_REPLICATE.
+    # The mask rides as a 4th channel of ONE warp: XLA lowers 1-channel
+    # patch gathers to a serialized per-point while loop (measured ~2.3 s
+    # per batch-16 route vs ~24 ms for the 4-channel gather).
+    srcU = jnp.concatenate([upper_img, upper_clothes_mask[..., :1]], axis=-1)
+    warpedU = _warp_parts(srcU, M, (h, w), "replicate") * vmask
+    part_imgs = warpedU[..., 0:3]
+    part_masks = warpedU[..., 3:4]
+    srcL = jnp.concatenate([lower_img, lower_clothes_mask[..., :1]], axis=-1)
+    warpedL = (
+        _warp_parts(srcL, M_lower[LOWER_PART_START:], (h, w), "replicate")
         * vmask_lower[LOWER_PART_START:]
     )
-    part_masks_lower = (
-        _warp_parts(lower_clothes_mask, M_lower[LOWER_PART_START:], (h, w), "replicate")
-        * vmask_lower[LOWER_PART_START:]
-    )
+    part_imgs_lower = warpedL[..., 0:3]
+    part_masks_lower = warpedL[..., 3:4]
 
     # ---- denorm: re-project each patch, keep only saturated-mask pixels,
     #      composite sequentially (later parts overwrite).  Parts are warped
@@ -360,10 +366,15 @@ def route_patches_batch(
 
 def erode_binary(mask: jnp.ndarray, size: int = 5) -> jnp.ndarray:
     """cv2.erode with the default (+inf) border on a binary mask == min-pool
-    with SAME padding.  Operates on the trailing [H, W, 1] dims of any rank."""
-    window = (1,) * (mask.ndim - 3) + (size, size, 1)
+    with SAME padding.  Operates on the trailing [H, W, 1] dims of any rank.
+    Separable (two 1-D min passes) — a box min-filter factorizes exactly."""
+    ones = (1,) * (mask.ndim - 3)
+    strides = (1,) * mask.ndim
+    m = jax.lax.reduce_window(
+        mask, jnp.inf, jax.lax.min, ones + (size, 1, 1), strides, "SAME"
+    )
     return jax.lax.reduce_window(
-        mask, jnp.inf, jax.lax.min, window, (1,) * mask.ndim, "SAME"
+        m, jnp.inf, jax.lax.min, ones + (1, size, 1), strides, "SAME"
     )
 
 
