@@ -151,12 +151,17 @@ class ToRGBLayerFull(nn.Module):
     """ToRGB with an optional auxiliary head on the final style block.
 
     head_mode:
-      "parsing6" — 6-class parsing logits head (Full cluster,
-                   reference `networks.py:5582-5611`),
-      "masks2"   — two 1-channel sigmoid masks (upper/lower, V18 cluster,
-                   reference `networks.py:5276-5310`),
-      None       — plain ToRGB.
-    The head is built only when is_last and is_style.
+      "parsing6"   — 6-class parsing logits head (Full cluster,
+                     reference `networks.py:5582-5611`),
+      "masks2"     — two 1-channel sigmoid masks (upper/lower, V18 cluster,
+                     reference `networks.py:5276-5310`),
+      "mask1"      — one sigmoid clothes mask named m_weight/m_bias
+                     (V15/V16/V20 cluster, reference `networks.py:4175-4197`;
+                     built on EVERY skip block there -> head_always=True),
+      "masks_hand" — clothes + hand sigmoid masks named m_weight/hm_weight
+                     (V21 cluster, reference `networks.py:5928-5962`),
+      None         — plain ToRGB.
+    The head is built when (is_last and is_style) or head_always.
     """
 
     in_channels: int
@@ -167,6 +172,7 @@ class ToRGBLayerFull(nn.Module):
     is_last: bool = False
     is_style: bool = False
     head_mode: Optional[str] = "parsing6"
+    head_always: bool = False  # build heads on every block (V15/16/20 style)
     num_parsing_classes: int = 6
     packed_in: bool = False  # x arrives W-packed; output unpacked (img domain)
     dtype: Dtype = jnp.float32
@@ -198,7 +204,7 @@ class ToRGBLayerFull(nn.Module):
         weights = [weight]
         splits = [self.out_channels]
         head_acts = []
-        if self.is_last and self.is_style:
+        if (self.is_last and self.is_style) or self.head_always:
             if self.head_mode == "parsing6":
                 mw, mb = head_param("m_weight1", "m_bias1", self.num_parsing_classes)
                 weights.append(mw)
@@ -206,6 +212,17 @@ class ToRGBLayerFull(nn.Module):
                 head_acts.append((mb, "linear"))
             elif self.head_mode == "masks2":
                 for name_w, name_b in (("m_weight1", "m_bias1"), ("m_weight2", "m_bias2")):
+                    mw, mb = head_param(name_w, name_b, 1)
+                    weights.append(mw)
+                    splits.append(1)
+                    head_acts.append((mb, "sigmoid"))
+            elif self.head_mode == "mask1":
+                mw, mb = head_param("m_weight", "m_bias", 1)
+                weights.append(mw)
+                splits.append(1)
+                head_acts.append((mb, "sigmoid"))
+            elif self.head_mode == "masks_hand":
+                for name_w, name_b in (("m_weight", "m_bias"), ("hm_weight", "hm_bias")):
                     mw, mb = head_param(name_w, name_b, 1)
                     weights.append(mw)
                     splits.append(1)
@@ -244,6 +261,7 @@ class SynthesisBlockFull(nn.Module):
     is_last: bool
     is_style: bool = False
     head_mode: Optional[str] = "parsing6"
+    head_always: bool = False  # heads on every skip block (V15/16/20 style)
     merge_min_res: int = 16  # cat_feat merge when resolution > this (512 cluster: 32)
     architecture: str = "skip"
     resample_filter: Sequence[float] = (1, 3, 3, 1)
@@ -366,6 +384,7 @@ class SynthesisBlockFull(nn.Module):
                 is_last=self.is_last,
                 is_style=self.is_style,
                 head_mode=self.head_mode,
+                head_always=self.head_always,
                 packed_in=self.packed and self.architecture == "skip" and self.in_channels != 0,
                 dtype=self.dtype,
                 name="torgb",
@@ -582,3 +601,184 @@ class SynthesisNetworkFull(nn.Module):
         if self.variant == "v18":
             return img, finetune_img, (upper_mask, lower_mask)
         return img, finetune_img, aux
+
+
+class SynthesisNetworkSingle(nn.Module):
+    """Single-denorm-branch synthesis pyramid — the V15/V16/V20 and V21
+    clusters (reference `networks.py:4731-4836` SynthesisNetworkV16,
+    `:6071-6196` SynthesisNetworkV21).
+
+    Differences from SynthesisNetworkFull:
+    * ONE denorm garment branch (clothes + mask), SPADE blocks at
+      feat_multiplier=1;
+    * variant "v16": a sigmoid clothes-mask ToRGB head on EVERY skip block
+      (head_mode "mask1", `networks.py:4185-4193`); forward returns
+      (img, finetune_img, mask);
+    * variant "v21": clothes + HAND mask heads on last blocks only
+      (head_mode "masks_hand", `:5941-5947`), and the spade feature's
+      hand region is filled with the average FACE feature —
+      face_encoder(cat_feat[128]) masked by the face_mask input
+      (`:6148-6188`); returns (img, finetune_img, mask, h_mask).
+    """
+
+    w_dim: int
+    img_resolution: int
+    img_channels: int
+    channel_base: int = 32768
+    channel_max: int = 512
+    conv_clamp: Optional[float] = None
+    use_noise: bool = True
+    variant: str = "v16"  # "v16" (V15/V16/V20) | "v21"
+    pack_tail: bool = True
+    dtype: Dtype = jnp.float32
+
+    @property
+    def block_resolutions(self):
+        n = int(math.log2(self.img_resolution))
+        return [2**i for i in range(2, n + 1)]
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    @property
+    def num_ws(self) -> int:
+        return sum(1 if r == 4 else 2 for r in self.block_resolutions) + 1
+
+    def _block(self, res: int, is_last: bool, name: str) -> SynthesisBlockFull:
+        return SynthesisBlockFull(
+            in_channels=self.channels(res // 2) if res > 4 else 0,
+            out_channels=self.channels(res),
+            w_dim=self.w_dim,
+            resolution=res,
+            img_channels=self.img_channels,
+            is_last=is_last,
+            is_style=True,
+            head_mode="masks_hand" if self.variant == "v21" else "mask1",
+            head_always=(self.variant != "v21"),
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+            packed=self.pack_tail and is_last and self.channels(res) * 2 <= 128,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    def setup(self):
+        resolutions = self.block_resolutions
+        self.blocks = [
+            self._block(res, is_last=res == self.img_resolution, name=f"b{res}")
+            for res in resolutions
+        ]
+
+        res_pre = resolutions[-2]
+        ch = self.channels(res_pre)
+        self.spade_b128_1 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=1, dtype=self.dtype)
+        self.spade_b128_2 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=1, dtype=self.dtype)
+        self.spade_b128_3 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=1, dtype=self.dtype)
+
+        res = resolutions[-1]
+        self.texture_b256 = SynthesisBlockFull(
+            in_channels=self.channels(res // 2),
+            out_channels=self.channels(res),
+            w_dim=self.w_dim,
+            resolution=res,
+            img_channels=self.img_channels,
+            is_last=True,
+            is_style=True,
+            head_mode="masks_hand" if self.variant == "v21" else "mask1",
+            head_always=(self.variant != "v21"),
+            conv_clamp=self.conv_clamp,
+            use_noise=self.use_noise,
+            packed=self.pack_tail and self.channels(res) * 2 <= 128,
+            dtype=self.dtype,
+            name="texture_b256",
+        )
+
+        ngf = 64
+        self.spade_encoder = nn.Sequential(
+            [
+                Conv2dLayer(3, ngf, 7, activation="relu", dtype=self.dtype),
+                ResBlock(ngf, ngf, kernel_size=4, activation="relu", dtype=self.dtype),
+                ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2, dtype=self.dtype),
+            ]
+        )
+        if self.variant == "v21":
+            self.face_encoder = Conv2dLayer(64, 128, 1, dtype=self.dtype)
+
+    def __call__(
+        self,
+        ws: jax.Array,
+        pose_feat: jax.Array,
+        cat_feat: Dict[str, jax.Array],
+        denorm_clothes: jax.Array,  # [N, H, W, 3]
+        denorm_mask: jax.Array,  # [N, H, W, 1]
+        face_mask: Optional[jax.Array] = None,  # [N, H, W, 1] (v21 only)
+        noise_mode: str = "random",
+    ):
+        assert ws.shape[1] == self.num_ws, (ws.shape, self.num_ws)
+        resolutions = self.block_resolutions
+
+        block_ws = []
+        w_idx = 0
+        for res, block in zip(resolutions, self.blocks):
+            block_ws.append(
+                jax.lax.dynamic_slice_in_dim(ws, w_idx, block.num_conv + block.num_torgb, axis=1)
+            )
+            w_idx += block.num_conv
+
+        x = img = None
+        x_128 = img_128 = None
+        aux = None
+        for res, block, cur_ws in zip(resolutions, self.blocks, block_ws):
+            x, img, cur_aux = block(x, img, cur_ws, pose_feat, cat_feat, noise_mode)
+            if cur_aux is not None:
+                aux = cur_aux
+            if res == resolutions[-2]:
+                x_128, img_128 = x, img
+
+        if self.variant == "v21":
+            mask = jax.lax.stop_gradient(aux[0])
+            h_mask = jax.lax.stop_gradient(aux[1])
+        else:
+            mask = jax.lax.stop_gradient(aux)
+            h_mask = None
+
+        # ---- spade feature (reference `:4804-4826` / `:6160-6186`)
+        mask_t = (mask > 0.9).astype(denorm_clothes.dtype)
+        mask_128 = (mask_t[:, ::2, ::2, :] > 0.9).astype(mask_t.dtype)
+        denorm_mask_128 = (denorm_mask[:, ::2, ::2, :] > 0.9).astype(mask_t.dtype)
+        valid_mask = ((mask_128 + denorm_mask_128) == 2.0).astype(mask_t.dtype)
+        res_mask = mask_128 - valid_mask
+
+        dn = denorm_clothes * mask_t - (1.0 - mask_t)
+        feat = self.spade_encoder(dn)
+        feat_hw = feat.shape[1] * feat.shape[2]
+        valid_sum = jnp.sum(feat * valid_mask, axis=(1, 2), keepdims=True)
+        vmask_sum = jnp.sum(valid_mask, axis=(1, 2), keepdims=True)
+        vidx = (vmask_sum > 10).astype(mask_t.dtype)
+        vmask_sum = vmask_sum * vidx + feat_hw * (1.0 - vidx)
+        avg_feat = valid_sum / vmask_sum
+        spade_feat = feat * (1.0 - res_mask) + avg_feat * res_mask
+
+        if self.variant == "v21":
+            # hand regions take the average FACE feature (`:6148-6158,6186`)
+            face_feat = self.face_encoder(cat_feat[str(resolutions[-2])].astype(self.dtype))
+            fm_128 = (face_mask[:, ::2, ::2, :] > 0.9).astype(mask_t.dtype)
+            f_sum = jnp.sum(face_feat * fm_128, axis=(1, 2), keepdims=True)
+            fm_sum = jnp.sum(fm_128, axis=(1, 2), keepdims=True)
+            fidx = (fm_sum > 10).astype(mask_t.dtype)
+            fm_sum = fm_sum * fidx + feat_hw * (1.0 - fidx)
+            face_avg = f_sum / fm_sum
+            hm_256 = (h_mask > 0.9).astype(mask_t.dtype)
+            hm_128 = (hm_256[:, ::2, ::2, :] > 0.9).astype(mask_t.dtype)
+            spade_feat = spade_feat * (1.0 - hm_128) + face_avg * hm_128
+
+        h = self.spade_b128_1(x_128, spade_feat)
+        h = self.spade_b128_2(h, spade_feat)
+        h = self.spade_b128_3(h, spade_feat)
+
+        _, finetune_img, _ = self.texture_b256(
+            h, img_128, block_ws[-1], pose_feat, cat_feat, noise_mode
+        )
+        if self.variant == "v21":
+            return img, finetune_img, mask, h_mask
+        return img, finetune_img, mask
