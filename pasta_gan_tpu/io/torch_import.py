@@ -49,9 +49,17 @@ def _ref_key(path: Tuple[str, ...]) -> Tuple[str, str]:
 
     kind in {conv, fc, dense, bias, scalar, const, noise}.
     """
+    import re
+
+    def generic(seg: str) -> str:
+        """container_N -> container.N (Sequential children: model_3,
+        spade_encoder_1, feat_enc_0, spade_affine_0, ...)."""
+        m = re.match(r"(model|spade_encoder|feat_enc|spade_affine)_(\d+)$", seg)
+        return f"{m.group(1)}.{m.group(2)}" if m else seg
+
     parts = list(path)
     leaf = parts[-1]
-    mods = parts[:-1]
+    mods = [generic(p) for p in parts[:-1]]
 
     def join(names):
         return ".".join(names)
@@ -60,14 +68,18 @@ def _ref_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     comp = mods[0]
     rest = mods[1:]
 
-    if comp == "mapping":
+    if comp.startswith("synthesis_b"):  # V10 cluster: blocks live on synthesis
+        ref = ["synthesis", comp[len("synthesis_"):]] + rest
+    elif comp == "mapping":
         ref = ["mapping"] + rest
     elif comp == "const_encoding":
         name_map = {"stem": "model.0"}
         name_map.update({f"down{i}": f"model.{i + 1}" for i in range(6)})
         ref = ["const_encoding", name_map[rest[0]]] + rest[1:]
     elif comp == "style_encoding":
-        if rest[0] == "feat_enc":
+        if "." in rest[0]:  # V10-style flat Sequential names, already translated
+            ref = ["style_encoding"] + rest
+        elif rest[0] == "feat_enc":
             name_map = {"conv0": "feat_enc.0"}
             name_map.update({f"down{i}": f"feat_enc.{i + 1}" for i in range(3)})
             ref = ["style_encoding", name_map[rest[1]]] + rest[2:]

@@ -13,6 +13,7 @@ from ..nn.discriminator import Discriminator
 from .generator_full import GeneratorFull, cat_feats_dict
 from .generator_v18 import GeneratorV18
 from .generator_512 import Generator512, Generator512Plain
+from .generator_v10 import GeneratorV10
 from .generator_v21 import GeneratorV16, GeneratorV20, GeneratorV21
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
@@ -21,6 +22,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "GeneratorV18": GeneratorV18,
     "Generator512": Generator512,
     "Generator512Plain": Generator512Plain,
+    "GeneratorV10": GeneratorV10,
     "GeneratorV16": GeneratorV16,
     "GeneratorV20": GeneratorV20,
     "GeneratorV21": GeneratorV21,
@@ -28,6 +30,7 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # reference-style dotted names (training_options.json compatibility)
     "training.networks.GeneratorFull": GeneratorFull,
     "training.networks.GeneratorV18": GeneratorV18,
+    "training.networks.GeneratorV10": GeneratorV10,
     "training.networks.GeneratorV16": GeneratorV16,
     "training.networks.GeneratorV20": GeneratorV20,
     "training.networks.GeneratorV21": GeneratorV21,
