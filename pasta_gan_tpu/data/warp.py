@@ -24,7 +24,40 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.matmul_warp import warp_perspective_matmul
 from .geometry import HAND_PARTS, LOWER_PART_START, NUM_PARTS, part_transforms
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def denorm_warp_parts(
+    src: jnp.ndarray,  # [P, h, w, C] patches (mask as the last channel)
+    M: jnp.ndarray,  # [P, 3, 3] patch->frame transforms
+    valid: jnp.ndarray,  # [P] bool/float; invalid parts -> all-zero planes
+    out_hw: tuple[int, int],
+) -> jnp.ndarray:
+    """All per-part denorm re-projections of one sample in one shot,
+    constant-zero border.  On TPU this is the fused Pallas hat-matmul kernel
+    (ops/pallas_warp.py — MXU contractions, per-tile support skipping); on
+    CPU/interpret backends (unit tests, the multichip CPU dryrun) it falls
+    back to the jnp matmul formulation.  Called under vmap over the batch."""
+    if _on_tpu():
+        from ..ops.pallas_warp import warp_parts_pallas
+
+        # bound the kernel's [C*Hs, P] half-contraction to ~4 MB of VMEM
+        C, Hs = src.shape[-1], src.shape[1]
+        rows = max(1, min(16, (1 << 20) // (C * Hs * out_hw[1])))
+        while out_hw[0] % rows:
+            rows -= 1
+        return warp_parts_pallas(
+            src, M, out_hw, "constant", valid=valid, rows_per_tile=rows
+        )
+    out = jax.vmap(
+        lambda s, m: warp_perspective_matmul(s, m, out_hw, "constant")
+    )(src, M)
+    return out * valid.astype(out.dtype)[:, None, None, None]
 
 MASK_SATURATION_THRESHOLD = 254.5 / 255.0
 
@@ -285,39 +318,42 @@ def route_patches_single(
     part_masks_lower = warpedL[..., 3:4]
 
     # ---- denorm: re-project each patch, keep only saturated-mask pixels,
-    #      composite sequentially (later parts overwrite).  Parts are warped
-    #      ONE AT A TIME inside the composite chain: a vmap over all 10
-    #      parts materializes the full-res (2,2,C) patch gather for every
-    #      part at once, which XLA lane-pads C=3 -> 128 (measured 21 GB at
-    #      batch 16 — an HBM OOM); the sequential chain bounds peak memory
-    #      to one part.
-    def _denorm_part(img_p, mask_p, Minv_p, erode: bool):
-        dn = warp_perspective(
-            jnp.concatenate([img_p, mask_p[..., :1]], axis=-1), Minv_p, (H, W), "constant"
+    #      composite sequentially (later parts overwrite).  The source is a
+    #      small patch and the destination full-res, so ALL 14 warps run in
+    #      one fused MXU hat-matmul kernel (denorm_warp_parts) — the gather
+    #      form was per-row latency bound at ~1M rows/part/batch-16 (300 of
+    #      the 330 ms round-2 routing cost).
+    L = LOWER_PART_START
+    srcs = jnp.concatenate(
+        [
+            jnp.concatenate([part_imgs, part_masks[..., :1]], axis=-1),
+            jnp.concatenate([part_imgs_lower, part_masks_lower[..., :1]], axis=-1),
+        ],
+        axis=0,
+    )  # [10 + 4, h, w, 4]
+    Ms = jnp.concatenate([M_inv, M_inv[L:]], axis=0)
+    vs = jnp.concatenate([denorm_valid, denorm_valid[L:]], axis=0)
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # [14, H, W, 4]
+    sat_all = (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
+    if erode_upper:
+        sat_all = jnp.concatenate(
+            [erode_binary(sat_all[:L]), sat_all[L:]], axis=0
         )
-        sat = (dn[..., -1:] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
-        if erode:
-            sat = erode_binary(sat)
-        return dn[..., :-1], sat
 
     denorm_upper = jnp.zeros_like(upper_img)
     hand_masks_list = {}
     for p in range(NUM_PARTS):
-        dn_img, sat = _denorm_part(
-            part_imgs[p], part_masks[p], M_inv[p], erode_upper and p < LOWER_PART_START
-        )
-        valid_p = sat * dmask[p]
-        denorm_upper = dn_img * valid_p + denorm_upper * (1 - valid_p)
+        valid_p = sat_all[p] * dmask[p]
+        denorm_upper = dn_all[p, ..., 0:3] * valid_p + denorm_upper * (1 - valid_p)
         if p in HAND_PARTS:
             hand_masks_list[p] = valid_p
 
     denorm_lower = jnp.zeros_like(lower_img)
-    for p in range(NUM_PARTS - LOWER_PART_START):
-        dn_img, sat = _denorm_part(
-            part_imgs_lower[p], part_masks_lower[p], M_inv[LOWER_PART_START + p], False
+    for i in range(NUM_PARTS - L):
+        valid_p = sat_all[NUM_PARTS + i] * dmask[L + i]
+        denorm_lower = dn_all[NUM_PARTS + i, ..., 0:3] * valid_p + denorm_lower * (
+            1 - valid_p
         )
-        valid_p = sat * dmask[LOWER_PART_START + p]
-        denorm_lower = dn_img * valid_p + denorm_lower * (1 - valid_p)
 
     hand_masks = jnp.stack([hand_masks_list[p] for p in HAND_PARTS], axis=0)  # [4,H,W,1]
 
@@ -446,28 +482,23 @@ def route_patches_v19_single(
     part_masks = warped[..., 6:7]
 
     # Denorm: re-project image+mask into the person frame, saturation-gate.
-    # One part at a time inside the composite chain (full-res patch gathers
-    # for all 10 parts at once lane-pad C=3 -> 128: 21 GB at batch 16).
+    # All 10 warps in one fused MXU hat-matmul kernel (denorm_warp_parts).
     dn_valid_gate = valid_p.astype(g_upper_img.dtype)[:, None, None, None]
-
-    def _dn(p, erode):
-        dn = warp_perspective(
-            jnp.concatenate([part_imgs[p], part_masks[p]], axis=-1),
-            Mp_inv[p], (H, W), "constant",
-        )
-        sat = (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(g_upper_img.dtype)
-        if erode:
-            sat = erode_binary(sat)
-        return dn[..., 0:3], sat * dn_valid_gate[p]
+    dn_all = denorm_warp_parts(
+        jnp.concatenate([part_imgs, part_masks], axis=-1), Mp_inv, valid_p, (H, W)
+    )  # [10, H, W, 4]
+    sat_all = (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(
+        g_upper_img.dtype
+    )
+    sat_all = jnp.concatenate([erode_binary(sat_all[:L]), sat_all[L:]], axis=0)
+    sat_all = sat_all * dn_valid_gate
 
     denorm_upper = jnp.zeros_like(g_upper_img)
     for p in range(L):
-        dn_img, sat_p = _dn(p, erode=True)
-        denorm_upper = dn_img * sat_p + denorm_upper * (1 - sat_p)
+        denorm_upper = dn_all[p, ..., 0:3] * sat_all[p] + denorm_upper * (1 - sat_all[p])
     denorm_lower = jnp.zeros_like(p_lower_img)
     for p in range(L, NUM_PARTS):
-        dn_img, sat_p = _dn(p, erode=False)
-        denorm_lower = dn_img * sat_p + denorm_lower * (1 - sat_p)
+        denorm_lower = dn_all[p, ..., 0:3] * sat_all[p] + denorm_lower * (1 - sat_all[p])
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
@@ -579,25 +610,24 @@ def route_patches_512_single(
     part_masks_lower = warpedL[..., 3:4]
 
     # ---- denorm into the person frame; erode-then-saturate on every part.
-    # Sequential per-part warps inside the composite chain (memory: see
-    # route_patches_single).
-    def _dn(warped_p, Minv_p, gate_p):
-        dn = warp_perspective(warped_p, Minv_p, (H, W), "constant")
-        sat = erode_binary(
-            (dn[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)
-        ) * gate_p
-        return dn[..., 0:3], sat
+    # All 15 warps in one fused MXU hat-matmul kernel (denorm_warp_parts).
+    lp_idx = jnp.asarray(LP)
+    srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [15, h, w, 4]
+    Ms = jnp.concatenate([M_inv, M_inv[lp_idx]], axis=0)
+    vs = jnp.concatenate([valid_inv, valid_inv[lp_idx]], axis=0)
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # [15, H, W, 4]
+    sat_all = erode_binary(
+        (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)
+    ) * vs.astype(dtype)[:, None, None, None]
 
-    gateU = valid_inv.astype(dtype)
     denorm_upper = jnp.zeros_like(upper_img)
     for p in range(NUM_PARTS):
-        dn_img, sat_p = _dn(warpedU[p], M_inv[p], gateU[p])
-        denorm_upper = dn_img * sat_p + denorm_upper * (1 - sat_p)
+        denorm_upper = dn_all[p, ..., 0:3] * sat_all[p] + denorm_upper * (1 - sat_all[p])
 
     denorm_lower = jnp.zeros_like(lower_img)
-    for i, p in enumerate(LP):
-        dn_img, sat_p = _dn(warpedL[i], M_inv[p], valid_inv[p].astype(dtype))
-        denorm_lower = dn_img * sat_p + denorm_lower * (1 - sat_p)
+    for i in range(len(LP)):
+        q = NUM_PARTS + i
+        denorm_lower = dn_all[q, ..., 0:3] * sat_all[q] + denorm_lower * (1 - sat_all[q])
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)

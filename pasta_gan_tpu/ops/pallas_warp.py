@@ -1,0 +1,211 @@
+"""Fused Pallas TPU kernel for the hat-matrix matmul warp.
+
+The jnp formulation (ops/matmul_warp.py) is HBM-traffic bound: XLA
+materializes the hat matrices and the half-contracted T [P_out, H_src*C]
+per part — tens of GB per routed batch-16, measured ~7.6 ms/part.  This
+kernel fuses hat construction + both contractions in VMEM; the only HBM
+traffic is the small source patches in and the warped planes out.
+
+Layout (chosen for TPU register tiling — see pallas_guide.md):
+  * dst pixels ride the LANE axis as a flat [1, P] row per tile (P = a
+    group of full output rows); coordinates come from a lane iota
+    (x = p & (W-1), y = p >> log2(W); W is a power of two),
+  * hat taps ride the SUBLANE axis: HJ [Ws + Hs, P] holds the x-hats
+    stacked on the y-hats, built in one full-lane VPU pass via a
+    sublane-index select,
+  * the source rides channel-major [C*Hs, Ws] zero-padded to
+    [C*Hs, Ws + Hs], so ONE K=(Ws+Hs) MXU matmul
+        T = srcA @ HJ          # [C*Hs, P]
+    x-interpolates every source row at every pixel (the zero block makes
+    the y-hat rows inert) with zero K-padding waste,
+  * the y-contraction out[ch, p] = sum_r B[r, p] * T[ch*Hs + r, p] is a
+    sublane-tiled elementwise product followed by a tiny [C, C*Hs] 0/1
+    segment matmul,
+  * output is planar [N, C, H*W] (NCHW-ish) so every store is full-lane.
+
+Per-tile skipping: the dst support of a patch is the convex quad image of
+its (-1..Ws, -1..Hs) hat-support rectangle (projective maps send convex
+polygons with positive denominator to convex polygons), so a row-tile whose
+y-range misses the quad's bbox writes zeros without touching the MXU.  The
+bbox test falls back to "compute everything" for degenerate matrices
+(non-positive or non-finite corner denominators).
+
+Numerics: matmuls run as manual bf16x3 passes — bf16 one-pass (~4e-3) would
+break the ==255 mask-saturation margin (0.5/255); bf16x3 keeps both warp
+paths within ~1e-5 (tests/test_matmul_warp.py, test_pallas_warp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _dot_bf16x3(a, b):
+    """f32 matmul as three bf16 passes (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi),
+    ~1e-6 relative error at half the MXU passes of Precision.HIGHEST (Mosaic
+    lowers no intermediate precision, so the split is done by hand)."""
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _warp_kernel(
+    minv_ref, flags_ref, srcA_ref, out_ref, *, Hs, Ws, W, log2_w, C, P, border
+):
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(flags_ref[i, t] == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when(flags_ref[i, t] != 0)
+    def _():
+        m00 = minv_ref[i, 0]
+        m01 = minv_ref[i, 1]
+        m02 = minv_ref[i, 2]
+        m10 = minv_ref[i, 3]
+        m11 = minv_ref[i, 4]
+        m12 = minv_ref[i, 5]
+        m20 = minv_ref[i, 6]
+        m21 = minv_ref[i, 7]
+        m22 = minv_ref[i, 8]
+
+        pidx = t * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+        gx = (pidx & (W - 1)).astype(jnp.float32)  # [1, P]
+        gy = (pidx >> log2_w).astype(jnp.float32)
+
+        denom = m20 * gx + m21 * gy + m22
+        denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+        sx = (m00 * gx + m01 * gy + m02) / denom
+        sy = (m10 * gx + m11 * gy + m12) / denom
+        if border == "replicate":
+            sx = jnp.clip(sx, 0.0, float(Ws - 1))
+            sy = jnp.clip(sy, 0.0, float(Hs - 1))
+        else:
+            # constant-zero border: hats vanish outside [-1, size]; clamp
+            # (and squash non-finite coords from degenerate matrices) into
+            # the all-zero-weight band.
+            sx = jnp.clip(sx, -2.0, float(Ws + 1))
+            sy = jnp.clip(sy, -2.0, float(Hs + 1))
+            sx = jnp.where(jnp.isfinite(sx), sx, -2.0)
+            sy = jnp.where(jnp.isfinite(sy), sy, -2.0)
+
+        K = Ws + Hs
+        sub = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+        is_x = sub < Ws
+        tap = jnp.where(is_x, sub, sub - Ws).astype(jnp.float32)
+        s = jnp.where(is_x, sx, sy)  # [1,P] broadcasts over sublanes
+        HJ = jnp.maximum(0.0, 1.0 - jnp.abs(s - tap))  # [K, P]
+
+        T = _dot_bf16x3(srcA_ref[0], HJ)  # [C*Hs, P]
+
+        B = HJ[Ws : Ws + Hs, :]  # [Hs, P]
+        Bw = pltpu.repeat(B, C, axis=0)  # [C*Hs, P]
+        X = Bw * T
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (C, C * Hs), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (C, C * Hs), 1)
+        # EC is 0/1 (bf16-exact); split X hi/lo for two exact-ish passes
+        EC = (cols // Hs == rows).astype(jnp.bfloat16)  # [C, C*Hs]
+        X_hi = X.astype(jnp.bfloat16)
+        X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out_ref[0] = (
+            jnp.dot(EC, X_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(EC, X_lo, preferred_element_type=jnp.float32)
+        )  # [C, P]
+
+
+def _support_row_flags(M_fwd, valid, Hs, Ws, H, n_tiles, rows_per_tile):
+    """[.., n_tiles] int32: does the dst support quad of each patch touch the
+    tile's row range?  M_fwd maps patch->dst (cv2 convention)."""
+    cs = jnp.asarray(
+        [[-1.0, -1.0, 1.0], [Ws + 0.0, -1.0, 1.0], [-1.0, Hs + 0.0, 1.0],
+         [Ws + 0.0, Hs + 0.0, 1.0]], jnp.float32
+    )  # [4, 3] hat-support corners
+    pc = jnp.einsum("ij,cj->ci", M_fwd, cs)  # [4, 3]
+    w = pc[:, 2]
+    safe = jnp.all(w > 1e-6) & jnp.all(jnp.isfinite(pc))
+    y = pc[:, 1] / jnp.where(jnp.abs(w) < 1e-6, 1e-6, w)
+    ymin = jnp.floor(jnp.min(y)) - 1.0
+    ymax = jnp.ceil(jnp.max(y)) + 1.0
+    # degenerate -> conservatively compute every tile
+    ymin = jnp.where(safe, ymin, 0.0)
+    ymax = jnp.where(safe, ymax, float(H))
+    t0 = jnp.arange(n_tiles, dtype=jnp.float32) * rows_per_tile
+    overlap = (ymin <= t0 + rows_per_tile - 1) & (ymax >= t0)
+    return (overlap & valid).astype(jnp.int32)
+
+
+_support_row_flags_v = jax.vmap(
+    _support_row_flags, in_axes=(0, 0, None, None, None, None, None)
+)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "border", "rows_per_tile"))
+def warp_parts_pallas(
+    src: jnp.ndarray,  # [N, Hs, Ws, C] float source patches
+    M_fwd: jnp.ndarray,  # [N, 3, 3] patch->dst (cv2 warpPerspective convention)
+    out_hw: tuple[int, int],
+    border: str = "constant",
+    valid: jnp.ndarray | None = None,  # [N] bool; invalid -> all-zero output
+    rows_per_tile: int = 16,
+) -> jnp.ndarray:
+    """Batched perspective warp, NHWC in -> NHWC out, matching
+    vmap(warp_perspective)(src, M_fwd) with constant/replicate borders.
+
+    Requires the out width to be a power of two (true for every routing
+    frame: the reference pads 256x192->256x256 and 512x320 images warp in
+    the padded 512/256-wide frames)."""
+    N, Hs, Ws, C = src.shape
+    H, W = out_hw
+    assert W & (W - 1) == 0, f"out width {W} must be a power of two"
+    P = rows_per_tile * W
+    assert (H * W) % P == 0
+    log2_w = W.bit_length() - 1
+    n_tiles = (H * W) // P
+
+    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))
+    minv9 = Minv.reshape(N, 9)
+    if valid is None:
+        valid_b = jnp.ones((N,), bool)
+    else:
+        valid_b = valid.astype(bool)
+    flags = _support_row_flags_v(
+        M_fwd.astype(jnp.float32), valid_b, Hs, Ws, H, n_tiles, rows_per_tile
+    )
+    # keep the tiny per-part setup (inverse, corner projection) out of the
+    # kernel's consumers — XLA otherwise re-evaluates it per fusion tile
+    minv9, flags = jax.lax.optimization_barrier((minv9, flags))
+
+    # channel-major [C*Hs, Ws], zero-padded on K to make the y-hat rows inert
+    srcA = jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)).reshape(N, C * Hs, Ws)
+    srcA = jnp.pad(srcA, ((0, 0), (0, 0), (0, Hs)))
+
+    kernel = functools.partial(
+        _warp_kernel, Hs=Hs, Ws=Ws, W=W, log2_w=log2_w, C=C, P=P, border=border
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # minv9 [N,9] + flags [N,n_tiles] in SMEM
+        grid=(N, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, C * Hs, Ws + Hs), lambda i, t, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, P), lambda i, t, *_: (i, 0, t)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C, H * W), jnp.float32),
+    )(minv9, flags, srcA)
+    return jnp.transpose(out.reshape(N, C, H, W), (0, 2, 3, 1))
