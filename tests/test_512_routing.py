@@ -161,6 +161,7 @@ def test_regions_differ():
                                 - np.asarray(lower.norm_img)))) > 1e-3
 
 
+@pytest.mark.slow
 def test_prepare_tryon_batch_512_drives_generator512():
     import jax
 

@@ -2,6 +2,7 @@
 device batch -> one G forward."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def test_synthetic_dataset_sample_contract():
     np.testing.assert_array_equal(s["image"], s2["image"])
 
 
+@pytest.mark.slow
 def test_prepare_train_batch_shapes_and_ranges():
     ds = SyntheticUvitonDataset(num_samples=2)
     host = collate([ds[0], ds[1]])
@@ -47,6 +49,7 @@ def test_prepare_train_batch_shapes_and_ranges():
     assert r.min() >= -1.001 and r.max() <= 1.001
 
 
+@pytest.mark.slow
 def test_prepare_tryon_batch():
     ds = SyntheticUvitonDataset(num_samples=2)
     person = collate([ds[0]])
@@ -56,6 +59,7 @@ def test_prepare_tryon_batch():
     assert float(jnp.sum(batch["denorm_upper_mask"])) > 50
 
 
+@pytest.mark.slow
 def test_train_batch_drives_generator():
     """The routed device batch feeds the 256px generator forward cleanly
     (training-step coverage at tiny shapes lives in test_train.py)."""

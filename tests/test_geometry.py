@@ -171,6 +171,7 @@ def test_warp_perspective_matches_cv2():
     np.testing.assert_allclose(ours_const, cv_const, rtol=1e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_route_patches_batch_runs():
     from pasta_gan_tpu.data.warp import route_patches_batch, route_patches_transfer_batch
 

@@ -60,6 +60,7 @@ def test_features_match_oracle_resized_256():
     assert np.max(np.abs(got - ref)) / scale < 2e-4
 
 
+@pytest.mark.slow
 def test_fid_pipeline_with_jax_inception(tmp_path):
     """End-to-end: two image sets through the JAX detector -> FID formula.
     Identical sets give FID ~0; disjoint sets give FID > 0."""

@@ -21,6 +21,7 @@ def test_snapshot_roundtrip(tmp_path):
     assert cfg["model"]["w_dim"] == 4
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path):
     import sys
 

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration scale; run with `-m slow` or no marker filter
+
 import jax
 
 from pasta_gan_tpu.data.dataset import SyntheticUvitonDataset

@@ -23,6 +23,7 @@ def _gen_inputs(rng, N, res, style_nc=42):
 
 
 @pytest.mark.parametrize("res", [32])
+@pytest.mark.slow
 def test_generator_full_shapes(res):
     rng = jax.random.PRNGKey(0)
     N = 2
@@ -51,6 +52,7 @@ def test_generator_num_ws():
 
 
 @pytest.mark.parametrize("res,c_dim", [(32, 512), (32, 0)])
+@pytest.mark.slow
 def test_discriminator_shapes(res, c_dim):
     rng = jax.random.PRNGKey(0)
     N = 4
@@ -66,6 +68,7 @@ def test_discriminator_shapes(res, c_dim):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow
 def test_discriminator_r1_grad():
     """R1 needs grad-of-grad through the whole D — free in JAX (SURVEY 2.2)."""
     rng = jax.random.PRNGKey(0)

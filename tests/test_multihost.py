@@ -13,6 +13,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration scale; run with `-m slow` or no marker filter
+
 from pasta_gan_tpu.train.loop import InfiniteLoader
 
 

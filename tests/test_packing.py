@@ -43,6 +43,7 @@ def test_conv_packed_up2_matches_resample():
 
 
 @pytest.mark.parametrize("noise_mode", ["none", "const"])
+@pytest.mark.slow
 def test_synthesis_pack_tail_parity(noise_mode):
     """Full SynthesisNetworkFull: pack_tail on/off with identical params."""
     from pasta_gan_tpu.nn.synthesis import SynthesisNetworkFull
@@ -78,6 +79,7 @@ def test_synthesis_pack_tail_parity(noise_mode):
         )
 
 
+@pytest.mark.slow
 def test_generator_full_pack_tail_parity():
     from pasta_gan_tpu.models import GeneratorFull
 

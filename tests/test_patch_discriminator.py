@@ -95,6 +95,7 @@ def _build(variant):
 
 @needs_ref
 @pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.slow
 def test_patch_discriminator_features_and_head(variant):
     import torch
 
@@ -142,6 +143,7 @@ def test_patch_discriminator_features_and_head(variant):
     np.testing.assert_allclose(np.asarray(pred_j), pred_t, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_patch_sampling_shapes_and_determinism():
     D = StyleGAN2PatchDiscriminator(
         scale_capacity=CAP, max_nc=MAX_NC, patch_size=PATCH, max_num_tiles=4

@@ -64,6 +64,7 @@ CMAX = 512  # channels(4) must be 512: the pose feature is fixed 512-ch
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_full_forward_parity():
     import torch
 
@@ -138,6 +139,7 @@ def test_generator_full_forward_parity():
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_v18_forward_parity():
     """Same end-to-end parity for the V18 cluster (released-256-checkpoint
     interface: dual sigmoid mask heads, 60-ch style input)."""

@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration scale; run with `-m slow` or no marker filter
+
 from pasta_gan_tpu.parallel import (
     data_parallel_mesh,
     make_sharded_train_step,

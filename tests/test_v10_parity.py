@@ -15,6 +15,7 @@ CMAX = 512
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_v10_forward_parity():
     import torch
 

@@ -183,6 +183,7 @@ def test_knee_fallback_matches_reference():
     np.testing.assert_allclose(np.asarray(M_ours), M_ref, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_prepare_tryon_batch_v18_drives_generator():
     import jax
 

@@ -92,10 +92,12 @@ def _run_pair(ref_cls_name, ours_cls_name, variant_kwargs, with_face):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_v16_forward_parity():
     _run_pair("GeneratorV16", "GeneratorV16", {}, with_face=False)
 
 
 @needs_ref
+@pytest.mark.slow
 def test_generator_v21_forward_parity():
     _run_pair("GeneratorV21", "GeneratorV21", {}, with_face=True)

@@ -62,6 +62,7 @@ def _model(seed=0):
     return m
 
 
+@pytest.mark.slow
 def test_vgg16_pr_features_match_oracle():
     m = _model()
     jx = VGG16Features.from_state_dict(m.state_dict())
@@ -77,6 +78,7 @@ def test_vgg16_pr_features_match_oracle():
     assert np.max(np.abs(got - ref)) / scale < 3e-4
 
 
+@pytest.mark.slow
 def test_vgg16_resize_path():
     m = _model(seed=2)
     jx = VGG16Features.from_state_dict(m.state_dict())
