@@ -89,6 +89,10 @@ class AdaConfig:
     initial_p: float = 0.0
     pipe: str = "bgc"  # blit + geom + color (the reference default augpipe)
     static_margin: Optional[int] = None  # geometric reflect-pad margin override
+    # two-pass affine warp execution (ops/shear_warp.py): ~100x fewer
+    # gather/scatter rows fwd+bwd; exact for axis-aligned draws, slightly
+    # different linear reconstruction for rotated ones (documented fast mode)
+    fast_geom: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

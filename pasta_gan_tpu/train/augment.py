@@ -179,6 +179,15 @@ class AugmentPipe:
     cutout_size: float = 0.5
     # TPU static padding margin (see module docstring)
     static_margin: Optional[int] = None
+    # Execute the geometric warp as a two-pass affine resample
+    # (ops/shear_warp.py) instead of the single-pass supersampled
+    # grid-sample.  ~100x fewer gather/scatter rows forward AND backward —
+    # the single-pass form is the dominant ADA training cost (BASELINE.md).
+    # EXACT for every axis-aligned draw (flips/rot90/scale/translate);
+    # genuinely-rotated draws get a slightly different (still consistent)
+    # linear reconstruction — opt-in, excluded from the reference
+    # debug-percentile parity tests.
+    fast_geom: bool = False
 
     @classmethod
     def from_spec(cls, name: str = "bgc", **kw) -> "AugmentPipe":
@@ -389,9 +398,18 @@ class AugmentPipe:
         Ninv_in = t2(-0.5, -0.5) @ s2(Wu / 2, Hu / 2) @ t2(1, 1)
         A = Ninv_in @ G @ N_out  # [N,3,3]
 
-        warped = jax.vmap(warp_perspective_inv, in_axes=(0, 0, None, None, None))(
-            images, A, (Ho, Wo), "constant", False  # coord_grads: A is RNG-derived
-        )
+        if self.fast_geom:
+            from ..ops.shear_warp import affine_resample_two_pass_batch
+
+            # remat: the pass intermediates (per-row window gathers) are
+            # cheap to recompute but large to keep for the backward
+            warped = jax.checkpoint(
+                lambda im, a: affine_resample_two_pass_batch(im, a, (Ho, Wo))
+            )(images, A[:, :2, :])
+        else:
+            warped = jax.vmap(warp_perspective_inv, in_axes=(0, 0, None, None, None))(
+                images, A, (Ho, Wo), "constant", False  # coord_grads: A is RNG-derived
+            )
         # Downsample and crop (augment.py:301)
         return downsample2d(warped, Hz_geom, down=2, padding=-Hz_pad * 2, flip_filter=True)
 

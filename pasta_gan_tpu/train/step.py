@@ -90,7 +90,9 @@ class GANTrainer:
             from .augment import AugmentPipe
 
             augment_fn = AugmentPipe.from_spec(
-                config.ada.pipe, static_margin=config.ada.static_margin
+                config.ada.pipe,
+                static_margin=config.ada.static_margin,
+                fast_geom=config.ada.fast_geom,
             )
         self.augment_fn = augment_fn  # (images, p, rng) -> images
         self.axis_name = axis_name
