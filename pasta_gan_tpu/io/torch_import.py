@@ -54,7 +54,10 @@ def _ref_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     def generic(seg: str) -> str:
         """container_N -> container.N (Sequential children: model_3,
         spade_encoder_1, feat_enc_0, spade_affine_0, ...)."""
-        m = re.match(r"(model|spade_encoder|feat_enc|spade_affine)_(\d+)$", seg)
+        m = re.match(
+            r"(model|spade_encoder|feat_enc|spade_affine|mask_conv|merge_conv|shortcut)_(\d+)$",
+            seg,
+        )
         return f"{m.group(1)}.{m.group(2)}" if m else seg
 
     parts = list(path)
@@ -68,7 +71,7 @@ def _ref_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     comp = mods[0]
     rest = mods[1:]
 
-    if comp.startswith("synthesis_b"):  # V10 cluster: blocks live on synthesis
+    if comp.startswith("synthesis_") and comp != "synthesis_":  # V10/V11 flat block names
         ref = ["synthesis", comp[len("synthesis_"):]] + rest
     elif comp == "mapping":
         ref = ["mapping"] + rest

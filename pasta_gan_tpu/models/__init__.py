@@ -14,23 +14,36 @@ from .generator_full import GeneratorFull, cat_feats_dict
 from .generator_v18 import GeneratorV18
 from .generator_512 import Generator512, Generator512Plain
 from .generator_v10 import GeneratorV10
+from .generator_v11 import GeneratorV11, GeneratorV12
+from .generator_v13 import GeneratorV13, GeneratorV14
+from .generator_v1 import GeneratorV1, SynthesisNetworkV1
 from .generator_v21 import GeneratorV16, GeneratorV20, GeneratorV21
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # canonical names
     "GeneratorFull": GeneratorFull,
+    "GeneratorV1": GeneratorV1,
     "GeneratorV18": GeneratorV18,
     "Generator512": Generator512,
     "Generator512Plain": Generator512Plain,
     "GeneratorV10": GeneratorV10,
+    "GeneratorV11": GeneratorV11,
+    "GeneratorV12": GeneratorV12,
+    "GeneratorV13": GeneratorV13,
+    "GeneratorV14": GeneratorV14,
     "GeneratorV16": GeneratorV16,
     "GeneratorV20": GeneratorV20,
     "GeneratorV21": GeneratorV21,
     "Discriminator": Discriminator,
     # reference-style dotted names (training_options.json compatibility)
     "training.networks.GeneratorFull": GeneratorFull,
+    "training.networks.Generator": GeneratorV1,
     "training.networks.GeneratorV18": GeneratorV18,
     "training.networks.GeneratorV10": GeneratorV10,
+    "training.networks.GeneratorV11": GeneratorV11,
+    "training.networks.GeneratorV12": GeneratorV12,
+    "training.networks.GeneratorV13": GeneratorV13,
+    "training.networks.GeneratorV14": GeneratorV14,
     "training.networks.GeneratorV16": GeneratorV16,
     "training.networks.GeneratorV20": GeneratorV20,
     "training.networks.GeneratorV21": GeneratorV21,
@@ -54,6 +67,7 @@ def build_model(class_name: str, **kwargs):
 
 __all__ = [
     "GeneratorFull",
+    "GeneratorV1",
     "GeneratorV18",
     "Generator512",
     "Generator512Plain",

@@ -127,19 +127,30 @@ class StyleEncoderNetworkV16(nn.Module):
         )(const_input)
 
         ngf = self.ngf
-        x = Conv2dLayer(self.input_nc, ngf, 1, dtype=self.dtype, name="stem")(x)
+        # With attention (the v1 encoder) the torch Sequential indices shift,
+        # so module names carry the literal reference indices (the converter's
+        # dotted-name pass-through, io/torch_import.py) instead of the fixed
+        # V16 name map.
+        idx = [0]
+
+        def nm(default: str) -> str:
+            name = f"model.{idx[0]}" if self.use_attention else default
+            idx[0] += 1
+            return name
+
+        x = Conv2dLayer(self.input_nc, ngf, 1, dtype=self.dtype, name=nm("stem"))(x)
         mult_ins = [1, 2, 4]
         mult_outs = [2, 4, 8]
         for i in range(3):
             if self.use_attention and i == 2:
-                x = SelfAttention(ngf * mult_ins[i], dtype=self.dtype, name=f"attn{i}")(x)
-            x = DenseNorm(ngf * mult_ins[i], ngf * mult_ins[i], dtype=self.dtype, name=f"dense{i}")(x)
+                x = SelfAttention(ngf * mult_ins[i], dtype=self.dtype, name=nm(f"attn{i}"))(x)
+            x = DenseNorm(ngf * mult_ins[i], ngf * mult_ins[i], dtype=self.dtype, name=nm(f"dense{i}"))(x)
             x = Conv2dLayer(
-                ngf * mult_ins[i], ngf * mult_outs[i], 3, down=2, dtype=self.dtype, name=f"down{i}"
+                ngf * mult_ins[i], ngf * mult_outs[i], 3, down=2, dtype=self.dtype, name=nm(f"down{i}")
             )(x)
         for i in range(self.extra_convs):
-            x = DenseNorm(ngf * 8, ngf * 8, dtype=self.dtype, name=f"dense{i + 3}")(x)
-            x = Conv2dLayer(ngf * 8, ngf * 8, 3, dtype=self.dtype, name=f"conv{i + 3}")(x)
+            x = DenseNorm(ngf * 8, ngf * 8, dtype=self.dtype, name=nm(f"dense{i + 3}"))(x)
+            x = Conv2dLayer(ngf * 8, ngf * 8, 3, dtype=self.dtype, name=nm(f"conv{i + 3}"))(x)
 
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         x = FullyConnectedLayer(self.output_nc, self.output_nc, dtype=self.dtype, name="fc")(x)
