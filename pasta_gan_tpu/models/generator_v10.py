@@ -52,7 +52,8 @@ class SynthesisLayerSpade(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, w, denorm_feat=None, noise_mode="random", gain=1.0):
+    def __call__(self, x, w, denorm_feat=None, noise_mode="random", gain=1.0,
+                 spade_mask=None):
         assert noise_mode in ("random", "const", "none")
         styles = FullyConnectedLayer(
             self.w_dim, self.in_channels, bias_init=1.0, dtype=self.dtype, name="affine"
@@ -69,6 +70,8 @@ class SynthesisLayerSpade(nn.Module):
                             dtype=self.dtype, name="spade_affine_0")(denorm_feat)
             spade_styles = Conv2dLayer(self.in_channels, self.in_channels, 1,
                                        dtype=self.dtype, name="spade_affine_1")(s)
+            if spade_mask is not None:  # V11/V12 gate (`networks.py:2551-2553`)
+                spade_styles = spade_styles * spade_mask
 
         noise = None
         if self.use_noise and noise_mode != "none":
