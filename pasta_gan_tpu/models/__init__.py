@@ -17,7 +17,19 @@ from .generator_v10 import GeneratorV10
 from .generator_v11 import GeneratorV11, GeneratorV12
 from .generator_v13 import GeneratorV13, GeneratorV14
 from .generator_v1 import GeneratorV1, SynthesisNetworkV1
+from .generator_v15 import GeneratorV15, GeneratorV15_2, GeneratorV17
 from .generator_v21 import GeneratorV16, GeneratorV20, GeneratorV21
+from .generator_ablations import (
+    GeneratorAvgPatchFull,
+    GeneratorNoCoarse,
+    GeneratorNoCoarseNoMask,
+    GeneratorPatch,
+    GeneratorPatchDenorm,
+    GeneratorPatchDenormCat,
+    GeneratorPatchFull,
+    GeneratorRaw,
+    GeneratorRawFull,
+)
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     # canonical names
@@ -31,10 +43,32 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "GeneratorV12": GeneratorV12,
     "GeneratorV13": GeneratorV13,
     "GeneratorV14": GeneratorV14,
+    "GeneratorV15": GeneratorV15,
+    "GeneratorV15_2": GeneratorV15_2,
+    "GeneratorV17": GeneratorV17,
     "GeneratorV16": GeneratorV16,
     "GeneratorV20": GeneratorV20,
     "GeneratorV21": GeneratorV21,
     "Discriminator": Discriminator,
+    # ablation clusters (networks.py:6235-7725)
+    "GeneratorRaw": GeneratorRaw,
+    "GeneratorPatch": GeneratorPatch,
+    "GeneratorPatchDenorm": GeneratorPatchDenorm,
+    "GeneratorPatchDenormCat": GeneratorPatchDenormCat,
+    "GeneratorRawFull": GeneratorRawFull,
+    "GeneratorPatchFull": GeneratorPatchFull,
+    "GeneratorAvgPatchFull": GeneratorAvgPatchFull,
+    "GeneratorNoCoarse": GeneratorNoCoarse,
+    "GeneratorNoCoarseNoMask": GeneratorNoCoarseNoMask,
+    "training.networks.GeneratorRaw": GeneratorRaw,
+    "training.networks.GeneratorPatch": GeneratorPatch,
+    "training.networks.GeneratorPatchDenorm": GeneratorPatchDenorm,
+    "training.networks.GeneratorPatchDenormCat": GeneratorPatchDenormCat,
+    "training.networks.GeneratorRawFull": GeneratorRawFull,
+    "training.networks.GeneratorPatchFull": GeneratorPatchFull,
+    "training.networks.GeneratorAvgPatchFull": GeneratorAvgPatchFull,
+    "training.networks.GeneratorNoCoarse": GeneratorNoCoarse,
+    "training.networks.GeneratorNoCoarseNoMask": GeneratorNoCoarseNoMask,
     # reference-style dotted names (training_options.json compatibility)
     "training.networks.GeneratorFull": GeneratorFull,
     "training.networks.Generator": GeneratorV1,
@@ -44,6 +78,10 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "training.networks.GeneratorV12": GeneratorV12,
     "training.networks.GeneratorV13": GeneratorV13,
     "training.networks.GeneratorV14": GeneratorV14,
+    # the reference's GeneratorV15 instantiates SynthesisNetworkV15_2
+    # (3 spade blocks, networks.py:4704) — map it to our V15_2 build
+    "training.networks.GeneratorV15": GeneratorV15_2,
+    "training.networks.GeneratorV17": GeneratorV17,
     "training.networks.GeneratorV16": GeneratorV16,
     "training.networks.GeneratorV20": GeneratorV20,
     "training.networks.GeneratorV21": GeneratorV21,
