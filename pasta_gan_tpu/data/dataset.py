@@ -28,6 +28,7 @@ from . import stickman
 from .warp import (
     route_patches_512_batch,
     route_patches_batch,
+    route_patches_mix_batch,
     route_patches_transfer_batch,
     route_patches_v19_batch,
 )
@@ -415,6 +416,57 @@ def prepare_tryon_batch(person: Dict[str, jnp.ndarray], garment: Dict[str, jnp.n
         garment["keypoints"].astype(jnp.float32),
         person["keypoints"].astype(jnp.float32),
         box_factor=box_factor,
+    )
+
+    denorm_upper_mask = (
+        jnp.sum(routed.denorm_upper_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+    denorm_lower_mask = (
+        jnp.sum(routed.denorm_lower_img, axis=-1, keepdims=True) > 0
+    ).astype(jnp.float32)
+
+    p_real = p_img * 2.0 - 1.0
+    head = p_retain * p_real - (1.0 - p_retain)
+    pose6 = jnp.concatenate([p_pose, head], axis=-1)
+    style_input = (
+        jnp.concatenate([routed.norm_img, routed.norm_img_lower], axis=-1) * 2.0 - 1.0
+    )
+
+    return {
+        "style_input": style_input,
+        "retain": head,
+        "pose": pose6,
+        "denorm_upper_img": routed.denorm_upper_img * 2.0 - 1.0,
+        "denorm_lower_img": routed.denorm_lower_img * 2.0 - 1.0,
+        "denorm_upper_mask": denorm_upper_mask,
+        "denorm_lower_mask": denorm_lower_mask,
+        "person_img": p_real,
+    }
+
+
+@partial(jax.jit, static_argnames=("box_factor", "swap"))
+def prepare_tryon_grid_batch(person: Dict[str, jnp.ndarray], garment: Dict[str, jnp.ndarray],
+                             swap: str = "upper", box_factor: int = 2):
+    """Cross-pair batch for the snapshot try-on grid (reference
+    `training_loop_wo_flow_fullbody.py:36-178`): the person's body with the
+    garment provider's upper ("upper"), lower ("lower"), or both ("full")
+    garments, built from TRAINING-path samples (so the same fixed vis set
+    feeds both the plain fakes grid and the swap matrix)."""
+    p_img = person["image"].astype(jnp.float32) / 255.0
+    g_img = garment["image"].astype(jnp.float32) / 255.0
+    p_pose = person["pose"].astype(jnp.float32) / 127.5 - 1.0
+    p_retain = person["retain_mask"].astype(jnp.float32)
+    p_up = person["upper_mask"].astype(jnp.float32)
+    p_lo = person["lower_mask"].astype(jnp.float32)
+    g_up = garment["upper_mask"].astype(jnp.float32)
+    g_lo = garment["lower_mask"].astype(jnp.float32)
+
+    routed = route_patches_mix_batch(
+        p_img * p_up, p_img * p_lo, p_up, p_lo,
+        g_img * g_up, g_img * g_lo, g_up, g_lo,
+        person["keypoints"].astype(jnp.float32),
+        garment["keypoints"].astype(jnp.float32),
+        swap=swap, box_factor=box_factor,
     )
 
     denorm_upper_mask = (

@@ -734,3 +734,65 @@ def route_patches_transfer_batch(
         valid_lower=valid_p,
         denorm_valid=valid_p,
     )
+
+
+@partial(jax.jit, static_argnames=("box_factor", "img_h", "pad_x", "swap"))
+def route_patches_mix_batch(
+    person_upper_img: jnp.ndarray,  # [B, H, W, 3] target person's own clothes
+    person_lower_img: jnp.ndarray,
+    person_upper_mask: jnp.ndarray,
+    person_lower_mask: jnp.ndarray,
+    garment_upper_img: jnp.ndarray,  # [B, H, W, 3] garment provider's clothes
+    garment_lower_img: jnp.ndarray,
+    garment_upper_mask: jnp.ndarray,
+    garment_lower_mask: jnp.ndarray,
+    person_keypoints: jnp.ndarray,  # [B, 18, 3] target pose (denorm geometry)
+    garment_keypoints: jnp.ndarray,  # [B, 18, 3]
+    swap: str = "upper",  # "upper" | "lower" | "full"
+    box_factor: int = 2,
+    img_h: Optional[int] = None,
+    pad_x: float = 32.0,
+) -> RoutedPatches:
+    """Cross-pair routing for the snapshot try-on grid (reference
+    `training_loop_wo_flow_fullbody.py:36-105` combine_parts/denorm_clothes):
+    each garment region comes from either the person (self-routed with the
+    person's M) or the garment provider (normalized with the garment's M);
+    everything re-projects into the person's geometry with the person's
+    M_inv.  `swap` selects the reference's row-third semantics: "lower"
+    keeps the person's top and takes the provider's pants, "full" takes
+    both, "upper" takes the provider's top and keeps the person's pants.
+    """
+    H = img_h or person_upper_img.shape[1]
+    h = person_upper_img.shape[1] >> box_factor
+    w = person_upper_img.shape[2] >> box_factor
+    Mg, _, valid_g = part_transforms(
+        garment_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    Mp, Mp_inv, valid_p = part_transforms(
+        person_keypoints, img_h=H, patch_w=w, patch_h=h, pad_x=pad_x,
+        knee_fallbacks=True,
+    )
+    if swap == "full":
+        up = (garment_upper_img, garment_upper_mask, Mg, valid_g)
+        lo = (garment_lower_img, garment_lower_mask, Mg, valid_g)
+    elif swap == "upper":
+        up = (garment_upper_img, garment_upper_mask, Mg, valid_g)
+        lo = (person_lower_img, person_lower_mask, Mp, valid_p)
+    elif swap == "lower":
+        up = (person_upper_img, person_upper_mask, Mp, valid_p)
+        lo = (garment_lower_img, garment_lower_mask, Mg, valid_g)
+    else:
+        raise ValueError(f"swap must be upper|lower|full, got {swap!r}")
+
+    return jax.vmap(
+        partial(route_patches_single, box_factor=box_factor, erode_upper=True)
+    )(
+        up[0], lo[0], up[1], lo[1],
+        up[2],
+        Mp_inv,
+        up[3],
+        M_lower=lo[2],
+        valid_lower=lo[3],
+        denorm_valid=valid_p,
+    )

@@ -114,6 +114,10 @@ class TrainConfig:
     kimg_per_tick: int = 4
     image_snapshot_ticks: int = 50
     network_snapshot_ticks: int = 50
+    # cross-pair try-on snapshot grid: person rows x garment columns, rows
+    # split in thirds lower/full/upper swap (reference
+    # training_loop_wo_flow_fullbody.py:36-178 uses gnum=23); 0 disables
+    tryon_grid_n: int = 6
     random_seed: int = 0
     # host input pipeline: decode workers per process (reference train.sh
     # uses --workers 3 per GPU; DataLoader num_workers)

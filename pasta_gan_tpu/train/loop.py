@@ -197,18 +197,58 @@ def training_loop(
 
             @jax.jit
             def fwd(g_params, b):
-                img, ft, _ = gen.apply(
+                img, ft, parsing = gen.apply(
                     g_params, None, b["style_input"], b["retain"], b["pose"],
                     b["denorm_upper_img"], b["denorm_lower_img"],
                     b["denorm_upper_mask"], b["denorm_lower_mask"],
                     noise_mode="const", rngs={"noise": jax.random.PRNGKey(0)},
                 )
-                return ft
+                return ft, parsing
 
             _snapshot_forward = fwd
-        fakes = get(_snapshot_forward(local_value(state.g_ema_params), snap_batch))
+        fakes, parsing = get(_snapshot_forward(local_value(state.g_ema_params), snap_batch))
         if is_main:
             save_image_grid(fakes, os.path.join(run_dir, f"fakes{tag}.png"))
+            if parsing is not None:
+                # predicted-parsing debug grid (reference util_functions
+                # make_parts_shape palette, util_functions.py:11-79)
+                from ..utils import parsing_to_rgb
+
+                save_image_grid(
+                    parsing_to_rgb(np.asarray(parsing)),
+                    os.path.join(run_dir, f"parsing{tag}.png"),
+                    drange=(0, 1),
+                )
+
+    # Cross-pair try-on matrix (reference setup_snapshot_image_grid,
+    # `training_loop_wo_flow_fullbody.py:36-178`): gnum persons (rows) x gnum
+    # garment providers (columns); the row range splits in thirds into
+    # lower-swap / full-swap / upper-swap, so one PNG visualizes the actual
+    # try-on behavior — not just reconstruction of the training batch.
+    gnum = min(config.tryon_grid_n, grid_n)
+
+    def save_tryon_grid(state, tag):
+        if gnum < 2 or _snapshot_forward is None:
+            return
+        from ..data.dataset import prepare_tryon_grid_batch
+
+        gap = max(gnum // 3, 1)
+        params = local_value(state.g_ema_params)
+        rows = []
+        for r in range(gnum):
+            person = {k: np.repeat(v[r : r + 1], gnum, axis=0) for k, v in snap_host.items()}
+            garment = {k: v[:gnum] for k, v in snap_host.items()}
+            swap = "lower" if r < gap else ("full" if r < 2 * gap else "upper")
+            b = prepare_tryon_grid_batch(person, garment, swap=swap)
+            rows.append(get(_snapshot_forward(params, b)[0]))
+        if is_main:
+            import numpy as _np
+
+            save_image_grid(
+                _np.concatenate(rows, axis=0),
+                os.path.join(run_dir, f"tryon_grid{tag}.png"),
+                grid_cols=gnum,
+            )
 
     cur_nimg = int(get(state.step)) * config.batch_size
     cur_tick = 0
@@ -223,6 +263,14 @@ def training_loop(
         print(f"Training for {total_kimg} kimg (batch {config.batch_size})...")
 
     while True:
+        # Per-phase wall timing (reference `Timing/<phase>` telemetry via
+        # training_stats.timer, training_loop...py:344-349,617-622).  The
+        # G/D phases are fused into one jit here, so the visible phases are
+        # data fetch+routing, the fused main step, and the lazy regularizers;
+        # times are async-dispatch wall costs — the tick readback barrier
+        # keeps them honest in aggregate (Timing/sec_per_tick is ground
+        # truth; phase times show the host-side split).
+        t_phase = time.time()
         host_batch = next(loader)
         # independent streams for PL vs R1 (a shared key correlated the two
         # regularizers' noise); data_rng folds in the process rank so random
@@ -231,15 +279,27 @@ def training_loop(
         batch = prepare_train_batch(host_batch, jax.random.fold_in(data_rng, rank))
         if use_mesh:
             batch = shard_batch(jax.device_get(batch), mesh)
+        t_data = time.time()
 
         state, stats = step_fn(state, batch, step_rng)
+        t_main = time.time()
+        t_greg = t_dreg = 0.0
         if pl_fn is not None and (batch_idx % g_reg_interval == 0):
             state, pl_stats = pl_fn(state, batch, pl_rng)
             stats = {**stats, **pl_stats}
+            t_greg = time.time() - t_main
         if d_reg_interval and (batch_idx % d_reg_interval == 0):
+            t0 = time.time()
             state, r1_stats = r1_fn(state, batch, r1_rng)
             stats = {**stats, **r1_stats}
+            t_dreg = time.time() - t0
         collector.report_dict(get(stats))
+        collector.report("Timing/data", t_data - t_phase)
+        collector.report("Timing/Gmain_Dmain", t_main - t_data)
+        if t_greg:
+            collector.report("Timing/Greg", t_greg)
+        if t_dreg:
+            collector.report("Timing/Dreg", t_dreg)
 
         cur_nimg += config.batch_size
         batch_idx += 1
@@ -289,6 +349,7 @@ def training_loop(
         img_ticks = config.image_snapshot_ticks
         if img_ticks and (done or cur_tick % img_ticks == 0):
             save_fake_grid(state, f"{cur_nimg // 1000:06d}")
+            save_tryon_grid(state, f"{cur_nimg // 1000:06d}")
 
         if snapshot_ticks and (done or cur_tick % snapshot_ticks == 0) and cur_tick > 0:
             if use_mesh:

@@ -124,3 +124,30 @@ def save_image_grid(images: np.ndarray, path: str, drange=(-1, 1), grid_cols: Op
         grid[r * H : (r + 1) * H, c * W : (c + 1) * W] = imgs[i]
     PIL.Image.fromarray(grid.squeeze() if C == 1 else grid).save(path)
     return path
+
+
+# LIP/CIHP human-parsing palette (reference `util_functions.py:18-20`
+# label_colors; the colormap.mat alternative needs an unavailable data file).
+PARSING_LABEL_COLORS = (
+    (0, 0, 0), (128, 0, 0), (255, 0, 0), (0, 85, 0), (170, 0, 51),
+    (255, 85, 0), (0, 0, 85), (0, 119, 221), (85, 85, 0), (0, 85, 85),
+    (85, 51, 0), (52, 86, 128), (0, 128, 0), (0, 0, 255), (51, 170, 221),
+    (0, 255, 255), (85, 255, 170), (170, 255, 85), (255, 255, 0), (255, 170, 0),
+)
+
+
+def parsing_to_rgb(parsing: np.ndarray) -> np.ndarray:
+    """Class-index map (or logits stack) -> float RGB in [0,1].
+
+    Reference `util_functions.make_parts_shape` (util_functions.py:71-77):
+    argmax over the channel axis when given logits [..., H, W, K] (NHWC),
+    then the label palette.  Accepts [H,W], [N,H,W], or [N,H,W,K].
+    """
+    x = np.asarray(parsing)
+    if x.ndim >= 3 and x.shape[-1] > 1 and np.issubdtype(x.dtype, np.floating):
+        x = np.argmax(x, axis=-1)
+    elif x.ndim >= 3 and x.shape[-1] == 1:
+        x = x[..., 0]
+    x = x.astype(np.int64) % len(PARSING_LABEL_COLORS)
+    palette = np.asarray(PARSING_LABEL_COLORS, np.float32) / 255.0
+    return palette[x]

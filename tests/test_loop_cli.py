@@ -63,6 +63,14 @@ def test_training_loop_ticks_snapshot_resume(tmp_path):
     assert any("Loss/G/loss" in r for r in rows)
     assert os.path.exists(os.path.join(run_dir, "reals.png"))
     assert any(f.startswith("fakes") for f in os.listdir(run_dir))
+    # cross-pair try-on swap matrix (reference setup_snapshot_image_grid)
+    tryon = [f for f in os.listdir(run_dir) if f.startswith("tryon_grid")]
+    assert tryon, os.listdir(run_dir)
+    import PIL.Image
+
+    g = np.asarray(PIL.Image.open(os.path.join(run_dir, tryon[0])))
+    n = min(cfg.tryon_grid_n, min(16, cfg.batch_size, 6))
+    assert g.shape[:2] == (n * 256, n * 256)
     snaps = [f for f in os.listdir(run_dir) if f.startswith("network-snapshot-")]
     assert snaps, os.listdir(run_dir)
     assert os.path.isdir(os.path.join(run_dir, "train-state-latest"))
