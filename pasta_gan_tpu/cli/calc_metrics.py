@@ -115,6 +115,9 @@ def main(argv=None):
     p.add_argument("--run_dir", default=None, help="where to append metric-*.jsonl")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--resolution", type=int, default=None, help="resize folder images")
+    p.add_argument("--conditional", action="store_true",
+                   help="real source builds part images + pose heatmaps "
+                        "(reference ImageFolderDataset preprocessing)")
     args = p.parse_args(argv)
 
     from ..metrics import calc_metric, default_extractor, is_valid_metric, report_metric
@@ -127,7 +130,26 @@ def main(argv=None):
         raise SystemExit("--gen_dir or --network required")
 
     if args.real_dir:
-        real_source = _folder_source(args.real_dir, args.batch, args.resolution)
+        if args.conditional:
+            # reference ImageFolderDataset (dataset.py:168-420): reals with
+            # per-image part images + pose heatmaps; images feed the
+            # extractor, the conditional stack is available to callers
+            from ..data.parts import PartsFolderDataset
+
+            ds = PartsFolderDataset(args.real_dir, resolution=args.resolution)
+
+            def real_source():
+                buf = []
+                for i in range(len(ds)):
+                    buf.append(ds[i]["image"])
+                    if len(buf) == args.batch:
+                        yield np.stack(buf)
+                        buf = []
+                if buf:
+                    yield np.stack(buf)
+
+        else:
+            real_source = _folder_source(args.real_dir, args.batch, args.resolution)
     elif args.synthetic:
         from ..data.dataset import SyntheticUvitonDataset
 
