@@ -229,3 +229,50 @@ def test_grad_accumulation_matches_full_batch():
     # the microbatch averaging itself).
     for a, b in zip(jax.tree_util.tree_leaves(manual), jax.tree_util.tree_leaves(accum)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4)
+
+
+def test_train_step_bfloat16_policy():
+    """bf16 compute / fp32 master-weight policy (reference analog: the
+    `num_fp16_res` fp16 blocks + pre-normalization, `networks.py:56-59`):
+    the full G/D step and the R1 double-backprop run under bf16 compute,
+    params STAY fp32, and the reported losses track the fp32 run.
+    """
+    cfg = tiny_config(vgg=True)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    batch = synth_batch(0, 4, cfg.model.img_resolution)
+
+    t32 = GANTrainer(cfg)
+    t16 = GANTrainer(cfg16)
+    state32 = t32.init_state(jax.random.PRNGKey(0), batch)
+    state16 = t16.init_state(jax.random.PRNGKey(0), batch)
+
+    # master weights are fp32 in both policies (identical init)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state32.g_params["params"]),
+        jax.tree_util.tree_leaves(state16.g_params["params"]),
+    ):
+        assert b.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s32, stats32 = jax.jit(t32.train_step)(state32, batch, jax.random.PRNGKey(1))
+    s16, stats16 = jax.jit(t16.train_step)(state16, batch, jax.random.PRNGKey(1))
+    assert _finite(stats16) and _finite(s16.g_params)
+    # updated params remain fp32
+    for leaf in jax.tree_util.tree_leaves(s16.g_params["params"]):
+        assert leaf.dtype == jnp.float32
+
+    # loss agreement: bf16 has ~8 mantissa bits; through a GAN step the
+    # scalar losses track within ~15% relative (or 0.05 absolute near zero)
+    for key in ("Loss/G/loss", "Loss/D/loss", "Loss/G/L1", "Loss/G/vgg"):
+        a = float(jax.device_get(stats32[key]))
+        b = float(jax.device_get(stats16[key]))
+        assert abs(a - b) <= 0.15 * abs(a) + 0.05, (key, a, b)
+
+    # R1 double-backprop under bf16 compute
+    s16b, r1 = jax.jit(t16.d_r1_step)(s16, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(jax.device_get(r1["Loss/r1_penalty"])))
+    r1_32 = float(jax.device_get(
+        jax.jit(t32.d_r1_step)(s32, batch, jax.random.PRNGKey(2))[1]["Loss/r1_penalty"]
+    ))
+    r1_16 = float(jax.device_get(r1["Loss/r1_penalty"]))
+    assert abs(r1_32 - r1_16) <= 0.2 * abs(r1_32) + 0.05, (r1_32, r1_16)
