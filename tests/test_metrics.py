@@ -1,6 +1,9 @@
 """Metric formula tests: mathematical invariants + pipeline smoke."""
 
+import os
+
 import numpy as np
+import pytest
 
 from pasta_gan_tpu.metrics import (
     FeatureStats,
@@ -146,3 +149,23 @@ def test_ppl_sampler_identity_pairs_near_zero():
     ws2 = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 128))
     diff = compute_ppl(synth, [(ws, ws2)], dist, num_samples=8, crop=False)
     assert diff > 0.0
+
+
+@pytest.mark.slow
+def test_quality_regression_script():
+    """The per-round quality-regression pipeline (scripts/quality_regression.py)
+    runs end-to-end and prints a finite JSON record."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/quality_regression.py", "--cpu", "--steps", "2",
+         "--samples", "4", "--batch", "2",
+         "--channel_base", "256", "--channel_max", "32"],
+        capture_output=True, text=True, timeout=1500, cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "fid_proxy"
+    assert np.isfinite(rec["value"]) and np.isfinite(rec["recon_l1"])
