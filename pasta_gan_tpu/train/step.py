@@ -165,8 +165,9 @@ class GANTrainer:
             z2 = jax.random.normal(mix_rng, (N, m.z_dim))
             ws2, _ = apply(self.gen.map_ws, z2, stylecode)
             num_ws = ws.shape[1]
+            cutoff_rng, use_rng = jax.random.split(cutoff_rng)
             cutoff = jax.random.randint(cutoff_rng, (), 1, num_ws)
-            use_mix = jax.random.uniform(cutoff_rng) < self.config.loss.style_mixing_prob
+            use_mix = jax.random.uniform(use_rng) < self.config.loss.style_mixing_prob
             cutoff = jnp.where(use_mix, cutoff, num_ws)
             idx = jnp.arange(num_ws)[None, :, None]
             ws = jnp.where(idx >= cutoff, ws2, ws)
