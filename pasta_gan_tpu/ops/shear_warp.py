@@ -49,14 +49,29 @@ def _resample_lines(img: jnp.ndarray, slope: jnp.ndarray, offsets: jnp.ndarray, 
 
     Index structure: with base_y = floor(offsets[y]) and m0(i) =
     floor(slope*i), the tap column floor(P) = base_y + m0(i) + e with
-    e in {0, 1} — so one per-ROW window gather (channel-flattened so the
-    slice minor dim is W*C wide; its adjoint is a non-overlapping slice
-    scatter) followed by a 0/1 tap-selection MATMUL (adjoint: a matmul —
-    a vmapped column gather's adjoint is a serialized overlapping scatter,
-    measured 2.7 s/call at ADA scale); the fractional mix is dense VPU
-    math.  The 3W+2 window covers every in-range tap for ANY slope; rows
-    whose base leaves [-W, 2W] (far-offset tails, the analogue of
-    the pipe's static-margin clamp) are zeroed.
+    e in {0, 1} — so a per-ROW aligned window W_y[j] = row_y[base_y - j_off
+    + j] followed by a 0/1 tap-selection MATMUL shared across rows; the
+    fractional mix is dense VPU math.  The 3W+2 window covers every
+    in-range tap for ANY slope; rows whose base leaves [-W, 2W]
+    (far-offset tails, the analogue of the pipe's static-margin clamp)
+    are zeroed.
+
+    EVERY index-dependent step here is a 0/1-selection matmul, not a
+    gather: XLA lowers a per-row wide-minor dynamic window (whether as
+    lax.gather or a Pallas per-row DMA) to ~2.8 us/row serialized slices —
+    ~47 ms per instance at ADA scale, the dominant ADA training cost
+    (round-3 profile).  Instead the per-row integer shift splits as
+    base*C = 128*b_y + r_y and runs as two batched one-hot contractions on
+    the MXU: tile selection O[y, T, t] = [T == b_y + t] over 128-lane
+    tiles of the UNPADDED source row (out-of-range tiles match nothing —
+    the constant-zero border falls out for free, and no 7W-wide padded
+    copy is ever materialized), then the sub-tile residual as a Toeplitz
+    one-hot P[y, q, l] = [q == l + r_y] contracting lane pairs (t, t+1).
+    Values ride as three bf16 slices (hi/mid/lo mantissa split — 0/1
+    selection is exact per slice) through O, P, and the tap matmul, and
+    reassemble in the f32 accumulator of the final dot.  The autodiff
+    transpose of all three stages is again matmuls: the whole resample —
+    forward AND backward — is gather/scatter-free.
     """
     H, W, C = img.shape
     dtype = img.dtype
@@ -77,21 +92,55 @@ def _resample_lines(img: jnp.ndarray, slope: jnp.ndarray, offsets: jnp.ndarray, 
     j_off = jnp.where(slope >= 0, W + 1, 2 * W).astype(jnp.int32)
 
     Wg = 3 * W + 2
-    PADL = 3 * W + 2
-    PADR = 3 * W + 1
-    imgp = jnp.pad(img, ((0, 0), (PADL, PADR), (0, 0)))
-    starts = (base_i - j_off + PADL) * C  # flat channel-major units
+    starts = (base_i - j_off) * C  # flat channel-major units, may be negative
 
-    idx = jnp.stack(
-        [jnp.arange(H, dtype=jnp.int32), starts], axis=-1
-    )  # [H, (row, col)]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-    )
-    G = jax.lax.gather(
-        flat := imgp.reshape(H, -1), idx, dn, slice_sizes=(1, Wg * C),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(H, Wg, C)
+    L = 128
+    WgC = Wg * C
+    nt = -(-WgC // L)  # output window tiles
+    Tg = nt + 1  # selected source tiles (t and t+1 feed the lane shift)
+    Td = -(-(W * C) // L)  # data tiles (unpadded source row)
+    flat = img.reshape(H, W * C)
+    flatp = jnp.pad(flat, ((0, 0), (0, Td * L - W * C)))
+
+    # hi/mid/lo bf16 mantissa slices at the source; 0/1 selection keeps each
+    # slice exactly, so f32 precision survives all three matmuls.
+    s_hi = flatp.astype(jnp.bfloat16)
+    res1 = (flatp - s_hi.astype(flatp.dtype)).astype(flatp.dtype)
+    s_mid = res1.astype(jnp.bfloat16)
+    s_lo = (res1 - s_mid.astype(flatp.dtype)).astype(jnp.bfloat16)
+
+    b = starts // L  # [H] floor division (starts may be negative)
+    r = starts - b * L  # [H] in [0, L)
+
+    # O[y, T, t] = [T == b[y] + t]: out-of-range b+t matches no tile -> 0
+    T_i = jnp.arange(Td, dtype=jnp.int32)[None, :, None]
+    t_i = jnp.arange(Tg, dtype=jnp.int32)[None, None, :]
+    O = (T_i == b[:, None, None] + t_i).astype(jnp.bfloat16)  # [H, Td, Tg]
+
+    # P[y, q, l] = [q == l + r[y]] (Toeplitz one-hot), q in [0, 2L)
+    q_i = jnp.arange(2 * L, dtype=jnp.int32)[None, :, None]
+    l_i = jnp.arange(L, dtype=jnp.int32)[None, None, :]
+    P = (q_i == l_i + r[:, None, None]).astype(jnp.bfloat16)  # [H, 2L, L]
+
+    def window_slice(tiles_s):
+        # tiles_s [H, Td, L] bf16 -> aligned window [H*C, Wg] bf16
+        Gt = jax.lax.dot_general(
+            O, tiles_s, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16,
+        )  # [H, Tg, L] = tiles at b[y]+t
+        Gs = jax.lax.dot_general(
+            Gt[:, :nt, :], P[:, :L, :], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16,
+        ) + jax.lax.dot_general(
+            Gt[:, 1:, :], P[:, L:, :], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16,
+        )  # [H, nt, L] lane-shifted by r[y]
+        win = Gs.reshape(H, nt * L)[:, :WgC].reshape(H, Wg, C)
+        return jnp.transpose(win, (0, 2, 1)).reshape(H * C, Wg)
+
+    G_hi = window_slice(s_hi.reshape(H, Td, L))
+    G_mid = window_slice(s_mid.reshape(H, Td, L))
+    G_lo = window_slice(s_lo.reshape(H, Td, L))
 
     xi = jnp.arange(n_out, dtype=jnp.float32)
     sxi = slope * xi  # [n_out]
@@ -105,14 +154,6 @@ def _resample_lines(img: jnp.ndarray, slope: jnp.ndarray, offsets: jnp.ndarray, 
     # and read as exact zeros (constant border preserved).
     S = (wcol == taps).astype(jnp.bfloat16)  # [3, Wg, n_out]; 0/1 is bf16-exact
     S2 = jnp.transpose(S, (1, 0, 2)).reshape(Wg, 3 * n_out)
-    Gf = jnp.transpose(G, (0, 2, 1)).reshape(H * C, Wg)
-    # one-hot selection is f32-exact in three bf16 passes: splitting each
-    # value into three 8-bit-mantissa slices and re-adding the selected
-    # slices reconstructs the f32 value (vs 6 passes at Precision.HIGHEST)
-    G_hi = Gf.astype(jnp.bfloat16)
-    r1 = Gf - G_hi.astype(jnp.float32)
-    G_mid = r1.astype(jnp.bfloat16)
-    G_lo = (r1 - G_mid.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(a):
         return jax.lax.dot_general(
