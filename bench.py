@@ -146,6 +146,36 @@ def main():
     def tryon(variables, person, garment):
         return gen_fwd(variables, prep(person, garment))
 
+    # ---- int8_static serving mode (extra key; record metric stays bf16):
+    # calibrate per-site activation scales on one batch, freeze, serve.
+    gen_q = gen.clone(quant="int8_static")
+    gen_c = gen.clone(quant="int8_calib")
+
+    @jax.jit
+    def calib(variables, b):
+        _, mut = gen_c.apply(
+            variables, None, b["style_input"], b["retain"], b["pose"],
+            b["denorm_upper_img"], b["denorm_lower_img"],
+            b["denorm_upper_mask"], b["denorm_lower_mask"],
+            noise_mode="none", mutable=["quant_scales"],
+        )
+        return mut["quant_scales"]
+
+    @jax.jit
+    def gen_fwd_q(variables, b):
+        img, finetune_img, parsing = gen_q.apply(
+            variables, None, b["style_input"], b["retain"], b["pose"],
+            b["denorm_upper_img"], b["denorm_lower_img"],
+            b["denorm_upper_mask"], b["denorm_lower_mask"], noise_mode="none",
+        )
+        return finetune_img
+
+    batch0 = prep(person, garment)
+    variables_q = {**variables, "quant_scales": calib(variables, batch0)}
+
+    def tryon_q(variables_q, person, garment):
+        return gen_fwd_q(variables_q, prep(person, garment))
+
     profile_dir = os.environ.get("PASTA_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -155,6 +185,8 @@ def main():
 
     if profile_dir:
         jax.profiler.stop_trace()
+
+    dt_e2e_q = _time(tryon_q, (variables_q, person, garment))
 
     e2e = BATCH / dt_e2e
     fwd = BATCH / dt_fwd
@@ -166,6 +198,7 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(e2e / REF_ANCHOR_IMGS_PER_SEC, 3),
                 "forward_only_imgs_per_sec": round(fwd, 2),
+                "serving_int8_e2e_imgs_per_sec": round(BATCH / dt_e2e_q, 2),
             }
         )
     )

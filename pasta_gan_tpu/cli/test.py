@@ -28,6 +28,44 @@ def save_image(arr: np.ndarray, path: str) -> None:
     PIL.Image.fromarray(img).save(path)
 
 
+def calibrate_int8_static(ctor, variables, w_avg, truncation_psi, batches):
+    """int8_static serving: fold per-site activation amax over calibration
+    batches (ops/quant.py int8_calib mode) through the try-on forward path,
+    returning variables with the frozen "quant_scales" collection merged in."""
+    from ..models import cat_feats_dict
+
+    gen_c = ctor(quant="int8_calib")
+
+    @jax.jit
+    def calib_step(variables, batch):
+        (stylecode, feats), m1 = gen_c.apply(
+            variables, batch["style_input"], batch["retain"],
+            method=gen_c.encode_style, mutable=["quant_scales"],
+        )
+        pose_feat, m2 = gen_c.apply(
+            variables, batch["pose"], method=gen_c.encode_pose,
+            mutable=["quant_scales"],
+        )
+        ws, _ = gen_c.apply(
+            variables, None, stylecode,
+            w_avg=w_avg, truncation_psi=truncation_psi, method=gen_c.map_ws,
+        )
+        _, m3 = gen_c.apply(
+            variables, ws, pose_feat, cat_feats_dict(feats),
+            batch["denorm_upper_img"], batch["denorm_lower_img"],
+            batch["denorm_upper_mask"], batch["denorm_lower_mask"],
+            method=gen_c.synthesize, noise_mode="none",
+            mutable=["quant_scales"],
+        )
+        # sub-networks are disjoint module subtrees -> shallow merge
+        return {**m1["quant_scales"], **m2["quant_scales"], **m3["quant_scales"]}
+
+    v = dict(variables)
+    for b in batches:
+        v["quant_scales"] = calib_step(v, b)
+    return v
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--network", required=True, help="network snapshot dir")
@@ -42,6 +80,16 @@ def main(argv=None):
         "v18: the released-256 checkpoint interface (60-ch norm+stickman "
         "styles, reference test.py:121-128)",
     )
+    p.add_argument(
+        "--quant", choices=["int8", "int8_static"], default=None,
+        help="int8 serving mode (ops/quant.py): 'int8' = dynamic per-sample "
+        "activation scales; 'int8_static' = calibrate activation scales on "
+        "the first --calib_batches batches, then serve with frozen scales "
+        "(fastest). Quantization error ~1e-2 relative; see "
+        "scripts/quality_regression.py --quant for the quality delta.",
+    )
+    p.add_argument("--calib_batches", type=int, default=2,
+                   help="batches used to calibrate int8_static scales")
     args = p.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -70,27 +118,30 @@ def main(argv=None):
         conv_clamp=mc.get("conv_clamp", 256.0),
     )
     if args.generator == "v18":
-        gen = GeneratorV18(style_input_nc=mc.get("style_input_nc", 60), **common)
+        ctor = lambda **kw: GeneratorV18(
+            style_input_nc=mc.get("style_input_nc", 60), **common, **kw)
         prepare = prepare_tryon_batch_v18
     else:
-        gen = GeneratorFull(style_input_nc=mc.get("style_input_nc", 42), **common)
+        ctor = lambda **kw: GeneratorFull(
+            style_input_nc=mc.get("style_input_nc", 42), **common, **kw)
         prepare = prepare_tryon_batch
+    gen = ctor(quant=args.quant)
     w_avg = jnp.asarray(w_avg)
 
     @jax.jit
-    def forward(batch):
+    def forward(variables, batch):
         """Mirrors test.py:118-128: explicit style/const/mapping/synthesis calls."""
         stylecode, feats = gen.apply(
-            g_ema_params, batch["style_input"], batch["retain"], method=gen.encode_style
+            variables, batch["style_input"], batch["retain"], method=gen.encode_style
         )
-        pose_feat = gen.apply(g_ema_params, batch["pose"], method=gen.encode_pose)
+        pose_feat = gen.apply(variables, batch["pose"], method=gen.encode_pose)
         ws, _ = gen.apply(
-            g_ema_params, None, stylecode,
+            variables, None, stylecode,
             w_avg=w_avg, truncation_psi=args.truncation_psi,
             method=gen.map_ws,
         )
         out = gen.apply(
-            g_ema_params,
+            variables,
             ws,
             pose_feat,
             cat_feats_dict(feats),
@@ -117,13 +168,23 @@ def main(argv=None):
         ]
 
     B = args.batchsize
+    variables = g_ema_params
+    if args.quant == "int8_static":
+        calib_batches = []
+        for i in range(0, min(len(pairs), args.calib_batches * B), B):
+            chunk = pairs[i : i + B]
+            calib_batches.append(prepare(collate([c[0] for c in chunk]),
+                                         collate([c[1] for c in chunk])))
+        variables = calibrate_int8_static(
+            ctor, variables, w_avg, args.truncation_psi, calib_batches)
+        print(f"calibrated int8 activation scales on {len(calib_batches)} batches")
     n_written = 0
     for i in range(0, len(pairs), B):
         chunk = pairs[i : i + B]
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
         batch = prepare(person, garment)
-        out = np.asarray(jax.device_get(forward(batch)), np.float32)
+        out = np.asarray(jax.device_get(forward(variables, batch)), np.float32)
         for j, (_, _, pname, gname) in enumerate(chunk):
             # un-pad 256x256 -> 256x192 (test.py:130-150 crop [:, 32:224])
             img = out[j][:, 32:224, :]

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .test import save_image
+from .test import calibrate_int8_static, save_image
 
 
 def main(argv=None):
@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--change_region", default="fullbody",
                    choices=["fullbody", "upperbody", "lowerbody"])
     p.add_argument("--truncation_psi", type=float, default=1.0)
+    p.add_argument(
+        "--quant", choices=["int8", "int8_static"], default=None,
+        help="int8 serving mode (ops/quant.py); int8_static calibrates "
+        "activation scales on the first --calib_batches batches",
+    )
+    p.add_argument("--calib_batches", type=int, default=2)
     args = p.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -49,28 +55,30 @@ def main(argv=None):
     g_ema_params, w_avg, config = load_snapshot(args.network)
     mc = config.get("model", {})
     res = mc.get("img_resolution", 512)
-    gen = Generator512(
+    ctor = lambda **kw: Generator512(
         img_resolution=res,
         channel_base=mc.get("channel_base", 32768),
         channel_max=mc.get("channel_max", 512),
         mapping_layers=mc.get("mapping_layers", 1),
         conv_clamp=mc.get("conv_clamp", 256.0),
         style_input_nc=mc.get("style_input_nc", 45),
+        **kw,
     )
+    gen = ctor(quant=args.quant)
     w_avg = jnp.asarray(w_avg)
 
     @jax.jit
-    def forward(batch):
+    def forward(variables, batch):
         stylecode, feats = gen.apply(
-            g_ema_params, batch["style_input"], batch["retain"], method=gen.encode_style
+            variables, batch["style_input"], batch["retain"], method=gen.encode_style
         )
-        pose_feat = gen.apply(g_ema_params, batch["pose"], method=gen.encode_pose)
+        pose_feat = gen.apply(variables, batch["pose"], method=gen.encode_pose)
         ws, _ = gen.apply(
-            g_ema_params, None, stylecode, w_avg=w_avg,
+            variables, None, stylecode, w_avg=w_avg,
             truncation_psi=args.truncation_psi, method=gen.map_ws,
         )
         img, finetune_img, _ = gen.apply(
-            g_ema_params, ws, pose_feat, cat_feats_dict(feats),
+            variables, ws, pose_feat, cat_feats_dict(feats),
             batch["denorm_upper_img"], batch["denorm_lower_img"],
             batch["denorm_upper_mask"], batch["denorm_lower_mask"],
             method=gen.synthesize, noise_mode="none",
@@ -93,9 +101,8 @@ def main(argv=None):
         ]
 
     B = args.batchsize
-    n_written = 0
-    for i in range(0, len(pairs), B):
-        chunk = pairs[i : i + B]
+
+    def make_batch(chunk):
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
         # pad_x = square-padding x offset: 96 for 512x320, 32 for the 256 fixture
@@ -105,7 +112,6 @@ def main(argv=None):
                 person, garment, change_region=args.change_region, pad_x=pad_x
             )
         )
-
         # inputs may be produced at 256 (synthetic fixture); scale to model res
         if batch["pose"].shape[1] != res:
             batch = {
@@ -116,8 +122,22 @@ def main(argv=None):
                 )
                 for k, v in batch.items()
             }
+        return person, batch
 
-        out = np.asarray(jax.device_get(forward(batch)), np.float32)
+    variables = g_ema_params
+    if args.quant == "int8_static":
+        calib = [make_batch(pairs[i : i + B])[1]
+                 for i in range(0, min(len(pairs), args.calib_batches * B), B)]
+        variables = calibrate_int8_static(
+            ctor, variables, w_avg, args.truncation_psi, calib)
+        print(f"calibrated int8 activation scales on {len(calib)} batches")
+
+    n_written = 0
+    for i in range(0, len(pairs), B):
+        chunk = pairs[i : i + B]
+        _, batch = make_batch(chunk)
+        garment = collate([c[1] for c in chunk])
+        out = np.asarray(jax.device_get(forward(variables, batch)), np.float32)
         g_img = np.asarray(garment["image"], np.float32) / 127.5 - 1.0
         p_img = np.asarray(jax.device_get(batch["person_img"]), np.float32)
         for j, (_, _, pname, gname) in enumerate(chunk):

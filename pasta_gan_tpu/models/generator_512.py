@@ -146,6 +146,7 @@ class Generator512(nn.Module):
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
     pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py; inference only)
     style_input_nc: int = 45
     dtype: Any = jnp.float32
 
@@ -162,6 +163,7 @@ class Generator512(nn.Module):
             start_res=8,
             pack_tail=self.pack_tail,
             merge_min_res=32,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws
@@ -175,11 +177,12 @@ class Generator512(nn.Module):
         self.const_encoding = ConstEncoderNetwork(
             input_nc=6, output_nc=self.synthesis.channels(8), ngf=64, n_downsampling=n_down,
             pack_entry=self.pack_tail,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
             input_nc=self.style_input_nc, output_nc=512, ngf=64, extra_convs=0,
-            pack_entry=self.pack_tail, dtype=self.dtype,
+            pack_entry=self.pack_tail, quant=self.quant, dtype=self.dtype,
         )
 
     def encode_pose(self, pose):

@@ -45,6 +45,7 @@ class GeneratorFull(nn.Module):
     use_noise: bool = True
     remat: bool = False  # rematerialize synthesis blocks (training memory)
     pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py; inference only)
     # encoder kwargs
     style_input_nc: int = 10 * 3 + 4 * 3  # 42: ten upper patches + four lower patches
     dtype: Dtype = jnp.float32
@@ -60,6 +61,7 @@ class GeneratorFull(nn.Module):
             use_noise=self.use_noise,
             remat=self.remat,
             pack_tail=self.pack_tail,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws
@@ -83,11 +85,12 @@ class GeneratorFull(nn.Module):
             ngf=64,
             n_downsampling=min(n_down, 6),
             pack_entry=self.pack_tail,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
             input_nc=self.style_input_nc, output_nc=512, ngf=64,
-            pack_entry=self.pack_tail, dtype=self.dtype
+            pack_entry=self.pack_tail, quant=self.quant, dtype=self.dtype
         )
 
     # -- sub-network entry points (mirroring the reference's attribute access) --

@@ -33,6 +33,7 @@ class GeneratorV18(nn.Module):
     conv_clamp: Optional[float] = 256.0
     use_noise: bool = True
     pack_tail: bool = True  # W-pack <=64ch last blocks (ops/packing.py; exact)
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py; inference only)
     style_input_nc: int = 30 * 2  # 60: norm patches + stickman patches
     dtype: Any = jnp.float32
 
@@ -47,6 +48,7 @@ class GeneratorV18(nn.Module):
             use_noise=self.use_noise,
             variant="v18",
             pack_tail=self.pack_tail,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.num_ws = self.synthesis.num_ws
@@ -59,11 +61,12 @@ class GeneratorV18(nn.Module):
             n_downsampling=6 if self.img_resolution == 256 else
             max(2, min(6, self.img_resolution.bit_length() - 3)),
             pack_entry=self.pack_tail,
+            quant=self.quant,
             dtype=self.dtype,
         )
         self.style_encoding = StyleEncoderNetworkV16(
             input_nc=self.style_input_nc, output_nc=512, ngf=64,
-            pack_entry=self.pack_tail, dtype=self.dtype
+            pack_entry=self.pack_tail, quant=self.quant, dtype=self.dtype
         )
 
     def encode_pose(self, pose):

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +23,7 @@ class ConstEncoderNetwork(nn.Module):
     ngf: int = 64
     n_downsampling: int = 6
     pack_entry: bool = False  # W-pack the 64ch full-res stage (ops/packing.py)
+    quant: Optional[str] = None  # "int8" serving mode
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -32,7 +33,7 @@ class ConstEncoderNetwork(nn.Module):
         mult_outs = [2, 4, 4, 4, 8, 8]
         x = Conv2dLayer(self.input_nc, self.ngf, 1,
                         pack_mode="out_stride" if pk else None,
-                        dtype=self.dtype, name="stem")(x)
+                        quant=self.quant, dtype=self.dtype, name="stem")(x)
         for i in range(self.n_downsampling):
             x = Conv2dLayer(
                 self.ngf * mult_ins[i],
@@ -40,6 +41,7 @@ class ConstEncoderNetwork(nn.Module):
                 3,
                 down=2,
                 pack_mode="in_down2" if (pk and i == 0) else None,
+                quant=self.quant,
                 dtype=self.dtype,
                 name=f"down{i}",
             )(x)
@@ -87,6 +89,7 @@ class _RetainFeatureEncoder(nn.Module):
     ngf: int = 64
     pack_entry: bool = False  # W-pack the full-res stage (ops/packing.py);
     # feats[0] is then returned PACKED (consumers detect via shape)
+    quant: Optional[str] = None  # "int8" serving mode
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -94,12 +97,12 @@ class _RetainFeatureEncoder(nn.Module):
         pk = self.pack_entry
         feats = []
         x = Conv2dLayer(3, self.ngf, 3, pack_mode="out_stride" if pk else None,
-                        dtype=self.dtype, name="conv0")(const_input)
+                        quant=self.quant, dtype=self.dtype, name="conv0")(const_input)
         feats.append(x)
         for i in range(3):
             x = Conv2dLayer(self.ngf, self.ngf, 3, down=2,
                             pack_mode="in_down2" if (pk and i == 0) else None,
-                            dtype=self.dtype, name=f"down{i}")(x)
+                            quant=self.quant, dtype=self.dtype, name=f"down{i}")(x)
             feats.append(x)
         return feats
 
@@ -118,12 +121,14 @@ class StyleEncoderNetworkV16(nn.Module):
     use_attention: bool = False  # True reproduces StyleEncoderNetwork (networks.py:647-698)
     extra_convs: int = 3  # 0 reproduces StyleEncoderNetwork_512 (networks.py:3731-3754)
     pack_entry: bool = False  # W-pack feat_enc's full-res stage
+    quant: Optional[str] = None  # "int8" serving mode
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, const_input: jax.Array):
         const_feats = _RetainFeatureEncoder(
-            self.ngf, pack_entry=self.pack_entry, dtype=self.dtype, name="feat_enc"
+            self.ngf, pack_entry=self.pack_entry, quant=self.quant,
+            dtype=self.dtype, name="feat_enc"
         )(const_input)
 
         ngf = self.ngf
@@ -146,11 +151,13 @@ class StyleEncoderNetworkV16(nn.Module):
                 x = SelfAttention(ngf * mult_ins[i], dtype=self.dtype, name=nm(f"attn{i}"))(x)
             x = DenseNorm(ngf * mult_ins[i], ngf * mult_ins[i], dtype=self.dtype, name=nm(f"dense{i}"))(x)
             x = Conv2dLayer(
-                ngf * mult_ins[i], ngf * mult_outs[i], 3, down=2, dtype=self.dtype, name=nm(f"down{i}")
+                ngf * mult_ins[i], ngf * mult_outs[i], 3, down=2,
+                quant=self.quant, dtype=self.dtype, name=nm(f"down{i}")
             )(x)
         for i in range(self.extra_convs):
             x = DenseNorm(ngf * 8, ngf * 8, dtype=self.dtype, name=nm(f"dense{i + 3}"))(x)
-            x = Conv2dLayer(ngf * 8, ngf * 8, 3, dtype=self.dtype, name=nm(f"conv{i + 3}"))(x)
+            x = Conv2dLayer(ngf * 8, ngf * 8, 3, quant=self.quant,
+                            dtype=self.dtype, name=nm(f"conv{i + 3}"))(x)
 
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         x = FullyConnectedLayer(self.output_nc, self.output_nc, dtype=self.dtype, name="fc")(x)

@@ -99,7 +99,15 @@ class Conv2dLayer(nn.Module):
     # the input is a plain concat of separately packed groups of these sizes.
     pack_mode: Optional[str] = None
     packed_groups: Optional[tuple] = None
+    quant: Optional[str] = None  # "int8"|"int8_calib"|"int8_static" (ops/quant.py)
     dtype: Dtype = jnp.float32
+
+    def _act_scale(self, x, q):
+        if q is None:
+            return None
+        from ..ops.quant import module_act_scale
+
+        return module_act_scale(self, x, q)
 
     @nn.compact
     def __call__(self, x: jax.Array, gain: float = 1.0) -> jax.Array:
@@ -112,28 +120,70 @@ class Conv2dLayer(nn.Module):
         weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
         ws = (w * weight_gain).astype(self.dtype)
         packed_out = self.pack_mode in ("same", "out_stride")
+        from ..ops.quant import is_int8
+
+        q = self.quant if is_int8(self.quant) else None
         if self.pack_mode in ("same", "out_stride"):
             assert self.up == 1 and self.down == 1, self.pack_mode
             from ..ops import packing as pk
 
             x = x.astype(self.dtype)
             if self.pack_mode == "out_stride":
-                x = pk.conv_packed_out_stride(x, ws)
+                asc = self._act_scale(x, q)
+                x = pk.conv_packed_out_stride(x, ws, quant=q, act_scale=asc)
             elif self.packed_groups is not None:
                 assert k == 1
                 wp = pk.pack_conv1_weights_grouped(ws, self.packed_groups)
-                x = jax.lax.conv_general_dilated(
-                    x, wp, (1, 1), ((0, 0), (0, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                if q is not None:
+                    from ..ops.quant import int8_conv_like
+
+                    x = int8_conv_like(
+                        x, wp, out_dtype=self.dtype, act_scale=self._act_scale(x, q)
+                    )
+                else:
+                    x = jax.lax.conv_general_dilated(
+                        x, wp, (1, 1), ((0, 0), (0, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
             else:
-                x = pk.conv_packed_same(x, ws)
+                asc = self._act_scale(x, q)
+                x = pk.conv_packed_same(x, ws, quant=q, act_scale=asc)
         elif self.pack_mode == "in_down2":
             assert self.up == 1 and self.down == 2
             from ..ops import packing as pk
 
             f = jnp.asarray(_resample_filter_const(self.resample_filter))
-            x = pk.conv_packed_in_down2(x.astype(self.dtype), ws, f, flip_weight=True)
+            x = x.astype(self.dtype)
+            x = pk.conv_packed_in_down2(
+                x, ws, f, flip_weight=True, quant=q,
+                act_scale=self._act_scale(x, q),
+            )
+        elif q is not None and self.up == 1 and self.down == 1:
+            from ..ops.quant import int8_conv2d
+
+            x = int8_conv2d(
+                x, w * weight_gain, padding=(k // 2,) * 4, out_dtype=self.dtype,
+                act_scale=self._act_scale(x, q),
+            )
+        elif q is not None and self.up == 1 and self.down == 2:
+            # FIR low-pass stays fp (depthwise, cheap); the dense strided conv
+            # carries the FLOPs and runs int8 (same split as conv2d_resample).
+            from ..ops.quant import int8_conv2d
+            from ..ops.upfirdn2d import upfirdn2d
+
+            fw = len(self.resample_filter)
+            p = (
+                k // 2 + (fw - 2 + 1) // 2,
+                k // 2 + (fw - 2) // 2,
+                k // 2 + (fw - 2 + 1) // 2,
+                k // 2 + (fw - 2) // 2,
+            )
+            f = jnp.asarray(_resample_filter_const(self.resample_filter))
+            xf = upfirdn2d(x.astype(self.dtype), f, padding=p)
+            x = int8_conv2d(
+                xf, w * weight_gain, stride=2, out_dtype=self.dtype,
+                act_scale=self._act_scale(xf, q),
+            )
         else:
             assert self.pack_mode is None, self.pack_mode
             f = jnp.asarray(_resample_filter_const(self.resample_filter))
@@ -178,6 +228,7 @@ class ResBlock(nn.Module):
     # W-packing: None | "same" (packed in/out, up=down=1) | "in_down2"
     # (packed in, down=2, unpacked out — conv1 runs unpacked at half res)
     pack_mode: Optional[str] = None
+    quant: Optional[str] = None  # "int8" serving mode
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,7 +239,7 @@ class ResBlock(nn.Module):
             assert self.up == 1 and self.down == 2
         common = dict(
             resample_filter=self.resample_filter, conv_clamp=self.conv_clamp,
-            dtype=self.dtype,
+            quant=self.quant, dtype=self.dtype,
         )
         pm_down = self.pack_mode  # skip/conv0 carry the down (or same) mode
         pm_conv1 = "same" if self.pack_mode == "same" else None

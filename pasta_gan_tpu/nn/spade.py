@@ -33,6 +33,7 @@ class SpadeConv2dLayer(nn.Module):
     down: int = 1
     resample_filter: Sequence[float] = (1, 3, 3, 1)
     conv_clamp: Optional[float] = None
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,6 +54,18 @@ class SpadeConv2dLayer(nn.Module):
             act_gain = activation_funcs[self.activation].def_gain * gain
             act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
             x = bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)
+        from ..ops.quant import is_int8
+
+        if is_int8(self.quant) and self.up == 1 and self.down == 1:
+            from ..ops.quant import int8_conv2d, module_act_scale
+
+            return int8_conv2d(
+                x,
+                w * weight_gain,
+                padding=(k // 2, k // 2, k // 2, k // 2),
+                out_dtype=self.dtype,
+                act_scale=module_act_scale(self, x, self.quant),
+            )
         f = jnp.asarray(_resample_filter_const(self.resample_filter))
         return conv2d_resample(
             x.astype(self.dtype),
@@ -71,23 +84,25 @@ class SpadeNormBlock(nn.Module):
 
     in_channels: int  # channels of the denorm feature map
     norm_channels: int  # channels of x
+    quant: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, denorm_feats: jax.Array) -> jax.Array:
         normalized = instance_norm_2d(x)
+        common = dict(quant=self.quant, dtype=self.dtype)
         actv = SpadeConv2dLayer(
             self.in_channels, self.norm_channels, 3, use_bias=False,
-            dtype=self.dtype, name="conv_mlp",
+            name="conv_mlp", **common,
         )(denorm_feats, no_act=True)
         actv = jax.nn.relu(actv)
         gamma = SpadeConv2dLayer(
             self.norm_channels, self.norm_channels, 3, use_bias=False,
-            dtype=self.dtype, name="conv_gamma",
+            name="conv_gamma", **common,
         )(actv, no_act=True)
         beta = SpadeConv2dLayer(
             self.norm_channels, self.norm_channels, 3, use_bias=False,
-            dtype=self.dtype, name="conv_beta",
+            name="conv_beta", **common,
         )(actv, no_act=True)
         return normalized * (1 + gamma) + beta
 
@@ -104,33 +119,34 @@ class SpadeResBlock(nn.Module):
     resolution: int = 128
     feat_multiplier: int = 1
     conv_clamp: Optional[float] = None
+    quant: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, denorm_feat: jax.Array) -> jax.Array:
         feat_channels = (128 if self.resolution == 128 else 64) * self.feat_multiplier
-        common = dict(conv_clamp=self.conv_clamp, dtype=self.dtype)
+        common = dict(conv_clamp=self.conv_clamp, quant=self.quant, dtype=self.dtype)
 
         x = SpadeConv2dLayer(
             self.in_channels, self.in_channels, 3, use_bias=False, name="conv", **common
         )(x, no_act=True)
 
-        y = SpadeNormBlock(feat_channels, self.in_channels, dtype=self.dtype, name="spade_skip")(
-            x, denorm_feat
-        )
+        y = SpadeNormBlock(
+            feat_channels, self.in_channels, quant=self.quant, dtype=self.dtype, name="spade_skip"
+        )(x, denorm_feat)
         y = SpadeConv2dLayer(
             self.in_channels, self.out_channels, 1, use_bias=False, name="skip", **common
         )(y, gain=math.sqrt(0.5))
 
-        h = SpadeNormBlock(feat_channels, self.in_channels, dtype=self.dtype, name="spade0")(
-            x, denorm_feat
-        )
+        h = SpadeNormBlock(
+            feat_channels, self.in_channels, quant=self.quant, dtype=self.dtype, name="spade0"
+        )(x, denorm_feat)
         h = SpadeConv2dLayer(
             self.in_channels, self.out_channels, 3, use_bias=False, name="conv0", **common
         )(h)
-        h = SpadeNormBlock(feat_channels, self.out_channels, dtype=self.dtype, name="spade1")(
-            h, denorm_feat
-        )
+        h = SpadeNormBlock(
+            feat_channels, self.out_channels, quant=self.quant, dtype=self.dtype, name="spade1"
+        )(h, denorm_feat)
         h = SpadeConv2dLayer(
             self.out_channels, self.out_channels, 3, use_bias=False, name="conv1", **common
         )(h, gain=math.sqrt(0.5))

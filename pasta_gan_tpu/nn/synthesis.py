@@ -49,6 +49,7 @@ class SynthesisLayer(nn.Module):
     conv_clamp: Optional[float] = None
     packed_in: bool = False  # x arrives W-packed (ops/packing.py)
     packed_out: bool = False  # emit W-packed output
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -106,6 +107,9 @@ class SynthesisLayer(nn.Module):
             flip_weight=(self.up == 1),
             packed_in=self.packed_in,
             packed_out=self.packed_out,
+            # style modulation makes per-sample dynamic ranges; static scales
+            # are unsafe here, so any int8 mode runs the dynamic path
+            quant="int8" if self.quant is not None else None,
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         if self.packed_out:
@@ -268,6 +272,7 @@ class SynthesisBlockFull(nn.Module):
     conv_clamp: Optional[float] = None
     use_noise: bool = True
     packed: bool = False  # W-packed tail (<=64ch last blocks; ops/packing.py)
+    quant: Optional[str] = None  # "int8" serving mode (unpacked conv paths)
     dtype: Dtype = jnp.float32
 
     @property
@@ -295,6 +300,7 @@ class SynthesisBlockFull(nn.Module):
             resample_filter=self.resample_filter,
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
+            quant=self.quant,
             dtype=self.dtype,
         )
         w_idx = 0
@@ -367,6 +373,7 @@ class SynthesisBlockFull(nn.Module):
                     resample_filter=self.resample_filter,
                     pack_mode="same" if pk else None,
                     packed_groups=(self.out_channels, feat_ch) if pk else None,
+                    quant=self.quant,
                     dtype=self.dtype,
                     name="merge_conv",
                 )(x)
@@ -411,6 +418,7 @@ class SynthesisNetworkFull(nn.Module):
     merge_min_res: int = 16
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs; SURVEY 7 hard-part 4)
     pack_tail: bool = True  # W-pack <=64-channel last blocks (ops/packing.py; exact)
+    quant: Optional[str] = None  # "int8" serving mode (ops/quant.py)
     dtype: Dtype = jnp.float32
 
     @property
@@ -447,6 +455,7 @@ class SynthesisNetworkFull(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             packed=self.pack_tail and is_last and self.channels(res) * 2 <= 128,
+            quant=self.quant,
             dtype=self.dtype,
             name=name,
         )
@@ -493,9 +502,10 @@ class SynthesisNetworkFull(nn.Module):
 
         res_pre = resolutions[-2]
         ch = self.channels(res_pre)
-        self.spade_b128_1 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
-        self.spade_b128_2 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
-        self.spade_b128_3 = SpadeResBlock(ch, ch, resolution=128, feat_multiplier=2, dtype=self.dtype)
+        sp = dict(resolution=128, feat_multiplier=2, quant=self.quant, dtype=self.dtype)
+        self.spade_b128_1 = SpadeResBlock(ch, ch, **sp)
+        self.spade_b128_2 = SpadeResBlock(ch, ch, **sp)
+        self.spade_b128_3 = SpadeResBlock(ch, ch, **sp)
 
         res = resolutions[-1]
         # V18's texture block builds (and discards) the mask heads, the Full
@@ -513,6 +523,7 @@ class SynthesisNetworkFull(nn.Module):
             conv_clamp=self.conv_clamp,
             use_noise=self.use_noise,
             packed=self.pack_tail and self.channels(res) * 2 <= 128,
+            quant=self.quant,
             dtype=self.dtype,
             name="texture_b256",
         )
@@ -527,11 +538,14 @@ class SynthesisNetworkFull(nn.Module):
         self.spade_encoder = nn.Sequential(
             [
                 Conv2dLayer(3, ngf, 7, activation="relu",
-                            pack_mode="out_stride" if pk else None, dtype=self.dtype),
+                            pack_mode="out_stride" if pk else None,
+                            quant=self.quant, dtype=self.dtype),
                 ResBlock(ngf, ngf, kernel_size=4, activation="relu",
-                         pack_mode="same" if pk else None, dtype=self.dtype),
+                         pack_mode="same" if pk else None,
+                         quant=self.quant, dtype=self.dtype),
                 ResBlock(ngf, ngf * 2, kernel_size=4, activation="relu", down=2,
-                         pack_mode="in_down2" if pk else None, dtype=self.dtype),
+                         pack_mode="in_down2" if pk else None,
+                         quant=self.quant, dtype=self.dtype),
             ]
         )
 

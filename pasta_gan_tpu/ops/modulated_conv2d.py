@@ -59,6 +59,7 @@ def modulated_conv2d(
     prenorm_for_half: bool = True,
     packed_in: bool = False,  # x is W-packed (ops/packing.py)
     packed_out: bool = False,  # emit W-packed output
+    quant: Optional[str] = None,  # "int8" serving mode (ops/quant.py); unpacked paths only
 ) -> jax.Array:
     """W-packed modes (TPU lane/MXU utilization for <=64-channel tensors, see
     ops/packing.py): supported combinations are (packed_in, packed_out) ==
@@ -107,10 +108,10 @@ def modulated_conv2d(
         x = x * styles.astype(x.dtype)[:, None, None, :]
 
     if packed_in and packed_out:
-        x = conv_packed_same(x, weight)
+        x = conv_packed_same(x, weight, quant=quant)
     elif packed_out:  # up=2 folded path (asserts above pin the convention)
         assert resample_filter is not None and padding == kh // 2
-        x = conv_packed_up2(x, weight, resample_filter)
+        x = conv_packed_up2(x, weight, resample_filter, quant=quant)
     elif (
         up == 2 and down == 1 and not flip_weight and resample_filter is not None
         and kh == 3 and kw == 3 and padding == 1
@@ -124,9 +125,26 @@ def modulated_conv2d(
         from .packing import fold_up_weights
 
         G = fold_up_weights(weight, resample_filter, gain=4.0)
-        x = jax.lax.conv_general_dilated(
-            x, G.astype(x.dtype), (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if quant == "int8":
+            from .quant import int8_conv2d
+
+            x = int8_conv2d(
+                x, G, padding=(3, 3, 3, 3), lhs_dilation=(2, 2), out_dtype=x.dtype
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x, G.astype(x.dtype), (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+    elif quant == "int8" and up == 1 and down == 1:
+        from .quant import int8_conv2d
+
+        x = int8_conv2d(
+            x,
+            weight,
+            padding=(padding, padding, padding, padding),
+            flip_weight=flip_weight,
+            out_dtype=x.dtype,
         )
     else:
         x = conv2d_resample(

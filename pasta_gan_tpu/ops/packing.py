@@ -144,7 +144,9 @@ def pack_conv1_weights_grouped(w: jax.Array, group_sizes) -> jax.Array:
     return _materialize(wp)
 
 
-def conv_packed_out_stride(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv_packed_out_stride(x: jax.Array, w: jax.Array,
+                           quant: Optional[str] = None,
+                           act_scale=None) -> jax.Array:
     """Same-res conv from UNPACKED input emitting PACKED output.
 
     Implemented as a stride-(1,2) conv with x-kernel k+1 (output phase b at
@@ -157,6 +159,14 @@ def conv_packed_out_stride(x: jax.Array, w: jax.Array) -> jax.Array:
     for b in (0, 1):
         wp = wp.at[:, b : b + kw, :, b * O : (b + 1) * O].set(w)
     wp = _materialize(wp)
+    if quant is not None:
+        from .quant import int8_conv_like
+
+        return int8_conv_like(
+            x, wp, window_strides=(1, 2),
+            padding_hw=((kh // 2, kh // 2), (r, r + 1)), out_dtype=x.dtype,
+            act_scale=act_scale,
+        )
     return jax.lax.conv_general_dilated(
         x, wp.astype(x.dtype), (1, 2), ((kh // 2, kh // 2), (r, r + 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -164,7 +174,9 @@ def conv_packed_out_stride(x: jax.Array, w: jax.Array) -> jax.Array:
 
 
 def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
-                         flip_weight: bool = True) -> jax.Array:
+                         flip_weight: bool = True,
+                         quant: Optional[str] = None,
+                         act_scale=None) -> jax.Array:
     """FIR low-pass + stride-2 conv consuming PACKED input, UNPACKED output.
 
     Folds the reference down path (conv2d_resample down=2: upfirdn(f, pad
@@ -198,29 +210,47 @@ def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
         t = (s - px0 - a) // 2
         Gp = Gp.at[:, t - ts[0], a * I : (a + 1) * I, :].add(G[:, s])
     Gp = _materialize(Gp)
+    if quant is not None:
+        from .quant import int8_conv_like
+
+        return int8_conv_like(
+            x, Gp, window_strides=(2, 1),
+            padding_hw=((py0, py1), (-ts[0], Kt - 1 + ts[0])), out_dtype=x.dtype,
+            act_scale=act_scale,
+        )
     return jax.lax.conv_general_dilated(
         x, Gp.astype(x.dtype), (2, 1), ((py0, py1), (-ts[0], Kt - 1 + ts[0])),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
 
-def conv_packed_same(x: jax.Array, w: jax.Array) -> jax.Array:
+def conv_packed_same(x: jax.Array, w: jax.Array,
+                     quant: Optional[str] = None,
+                     act_scale=None) -> jax.Array:
     """Same-resolution conv in the packed domain.
 
     x: [N, H, Wp, 2I]; w: [kh, kw, I, O] UNPACKED weights (kw odd).
     Returns [N, H, Wp, 2O]."""
     kh, kw = int(w.shape[0]), int(w.shape[1])
     wp = pack_conv_weights(w)
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    if quant is not None:
+        from .quant import int8_conv_like
+
+        return int8_conv_like(x, wp, padding_hw=pad, out_dtype=x.dtype,
+                              act_scale=act_scale)
     return jax.lax.conv_general_dilated(
         x,
         wp.astype(x.dtype),
         (1, 1),
-        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
 
-def conv_packed_up2(x: jax.Array, w: jax.Array, f: jax.Array) -> jax.Array:
+def conv_packed_up2(x: jax.Array, w: jax.Array, f: jax.Array,
+                    quant: Optional[str] = None,
+                    act_scale=None) -> jax.Array:
     """The up=2 modulated-conv resample path, emitting packed output.
 
     x: [N, H, W, I] UNPACKED input; w: [3, 3, I, O] (flip_weight=False
@@ -229,6 +259,13 @@ def conv_packed_up2(x: jax.Array, w: jax.Array, f: jax.Array) -> jax.Array:
     padding=1, flip_weight=False)."""
     G = fold_up_weights(w, f, gain=4.0)
     Gp = phase_split_up(G)
+    if quant is not None:
+        from .quant import int8_conv_like
+
+        return int8_conv_like(
+            x, Gp, padding_hw=((3, 3), (1, 1)), lhs_dilation=(2, 1),
+            out_dtype=x.dtype, act_scale=act_scale,
+        )
     return jax.lax.conv_general_dilated(
         x,
         Gp.astype(x.dtype),

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--channel_base", type=int, default=4096)
     ap.add_argument("--channel_max", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quant", choices=["int8", "int8_static"], default=None,
+                    help="also evaluate the int8 serving mode (ops/quant.py): "
+                    "reports fid_proxy_quant + pixel delta vs the fp forward")
     args = ap.parse_args()
 
     import jax
@@ -116,7 +119,7 @@ def main():
     mu_f, cov_f = f_fake.mean(0), np.cov(f_fake, rowvar=False)
     fid_proxy = float(fid_from_stats(mu_r, cov_r, mu_f, cov_f))
 
-    print(json.dumps({
+    out = {
         "metric": "fid_proxy",
         "value": round(fid_proxy, 3),
         "unit": "simpleconv-fid (NOT reference-comparable)",
@@ -125,7 +128,51 @@ def main():
         "steps": args.steps,
         "samples": args.samples,
         "train_s": round(train_s, 1),
-    }))
+    }
+
+    if args.quant:
+        # int8 serving-mode quality delta vs the fp forward on the same params
+        gen_q = gen.clone(quant="int8" if args.quant == "int8" else "int8_static")
+        if args.quant == "int8_static":
+            gen_c = gen.clone(quant="int8_calib")
+
+            @jax.jit
+            def calib(v, b):
+                _, mut = gen_c.apply(
+                    v, None, b["style_input"], b["retain"], b["pose"],
+                    b["denorm_upper_img"], b["denorm_lower_img"],
+                    b["denorm_upper_mask"], b["denorm_lower_mask"],
+                    noise_mode="const", rngs={"noise": jax.random.PRNGKey(0)},
+                    mutable=["quant_scales"],
+                )
+                return mut["quant_scales"]
+
+            v = dict(params)
+            for b in batches:
+                v["quant_scales"] = calib(v, b)
+            params_q = v
+        else:
+            params_q = params
+
+        @jax.jit
+        def fwd_q(p, b):
+            img, ft, _ = gen_q.apply(
+                p, None, b["style_input"], b["retain"], b["pose"],
+                b["denorm_upper_img"], b["denorm_lower_img"],
+                b["denorm_upper_mask"], b["denorm_lower_mask"],
+                noise_mode="const", rngs={"noise": jax.random.PRNGKey(0)},
+            )
+            return ft
+
+        fakes_q = np.concatenate(
+            [np.asarray(jax.device_get(fwd_q(params_q, b))) for b in batches])
+        f_q = extractor(to_u8(fakes_q))
+        mu_q, cov_q = f_q.mean(0), np.cov(f_q, rowvar=False)
+        out["fid_proxy_quant"] = round(float(fid_from_stats(mu_r, cov_r, mu_q, cov_q)), 3)
+        out["quant_pixel_l1"] = round(float(np.mean(np.abs(fakes_q - fakes))), 4)
+        out["quant_mode"] = args.quant
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

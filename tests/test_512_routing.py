@@ -112,6 +112,7 @@ def _assert_close(ours, ref_tuple):
         assert float(np.mean(diff)) < 1.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("region", ["fullbody", "upperbody", "lowerbody"])
 def test_route_512_matches_reference_normalize(region):
     ref_dataset = _load_ref_dataset()
@@ -143,6 +144,7 @@ def test_route_512_matches_reference_normalize(region):
     assert float(np.sum(np.asarray(ours.denorm_lower_img))) > 0
 
 
+@pytest.mark.slow
 def test_regions_differ():
     """upper/lower region selection routes different sources — the zeroing
     approximation this replaced could not produce different norm stacks."""

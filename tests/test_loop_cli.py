@@ -126,6 +126,13 @@ def test_cli_test_and_512_smoke(tmp_path):
                    "--batchsize", "2"])
     assert len(os.listdir(out)) >= 1
 
+    # int8 serving mode: calibrate-then-freeze flow produces finite images
+    out_q = str(tmp_path / "out_test_q")
+    cli_test.main(["--network", snap, "--synthetic", "2", "--outdir", out_q,
+                   "--batchsize", "2", "--quant", "int8_static",
+                   "--calib_batches", "1"])
+    assert sorted(os.listdir(out_q)) == sorted(os.listdir(out))
+
     # --- Generator512 snapshot for cli.test_512 (at reduced resolution)
     g512 = Generator512(img_resolution=256, channel_base=2048, channel_max=64,
                         mapping_layers=1, style_input_nc=45)

@@ -96,6 +96,7 @@ class _StubV19:
     pass
 
 
+@pytest.mark.slow
 def test_route_v19_matches_reference_normalize():
     ref_dataset = _load_ref_dataset()
     stub = _StubV19()
