@@ -110,7 +110,11 @@ class Conv2dLayer(nn.Module):
         return module_act_scale(self, x, q)
 
     @nn.compact
-    def __call__(self, x: jax.Array, gain: float = 1.0) -> jax.Array:
+    def __call__(self, x, gain: float = 1.0) -> jax.Array:
+        """`x` may be a `QuantizedActivation` (int8 modes only): a shared
+        pre-quantized input, e.g. ResBlock feeding skip+conv0 one quantize."""
+        from ..ops.quant import QuantizedActivation, is_int8
+
         k = self.kernel_size
         w = self.param(
             "weight",
@@ -120,17 +124,20 @@ class Conv2dLayer(nn.Module):
         weight_gain = 1.0 / math.sqrt(self.in_channels * k * k)
         ws = (w * weight_gain).astype(self.dtype)
         packed_out = self.pack_mode in ("same", "out_stride")
-        from ..ops.quant import is_int8
 
         q = self.quant if is_int8(self.quant) else None
+        xq_in = isinstance(x, QuantizedActivation)
+        assert not xq_in or q is not None
+        site = (lambda t: None if xq_in else self._act_scale(t, q))
         if self.pack_mode in ("same", "out_stride"):
             assert self.up == 1 and self.down == 1, self.pack_mode
             from ..ops import packing as pk
 
-            x = x.astype(self.dtype)
+            if not xq_in:
+                x = x.astype(self.dtype)
             if self.pack_mode == "out_stride":
-                asc = self._act_scale(x, q)
-                x = pk.conv_packed_out_stride(x, ws, quant=q, act_scale=asc)
+                x = pk.conv_packed_out_stride(x, ws, quant=q, act_scale=site(x),
+                                              out_dtype=self.dtype)
             elif self.packed_groups is not None:
                 assert k == 1
                 wp = pk.pack_conv1_weights_grouped(ws, self.packed_groups)
@@ -138,7 +145,7 @@ class Conv2dLayer(nn.Module):
                     from ..ops.quant import int8_conv_like
 
                     x = int8_conv_like(
-                        x, wp, out_dtype=self.dtype, act_scale=self._act_scale(x, q)
+                        x, wp, out_dtype=self.dtype, act_scale=site(x)
                     )
                 else:
                     x = jax.lax.conv_general_dilated(
@@ -146,26 +153,28 @@ class Conv2dLayer(nn.Module):
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     )
             else:
-                asc = self._act_scale(x, q)
-                x = pk.conv_packed_same(x, ws, quant=q, act_scale=asc)
+                x = pk.conv_packed_same(x, ws, quant=q, act_scale=site(x),
+                                        out_dtype=self.dtype)
         elif self.pack_mode == "in_down2":
             assert self.up == 1 and self.down == 2
             from ..ops import packing as pk
 
             f = jnp.asarray(_resample_filter_const(self.resample_filter))
-            x = x.astype(self.dtype)
+            if not xq_in:
+                x = x.astype(self.dtype)
             x = pk.conv_packed_in_down2(
                 x, ws, f, flip_weight=True, quant=q,
-                act_scale=self._act_scale(x, q),
+                act_scale=site(x), out_dtype=self.dtype,
             )
         elif q is not None and self.up == 1 and self.down == 1:
             from ..ops.quant import int8_conv2d
 
             x = int8_conv2d(
                 x, w * weight_gain, padding=(k // 2,) * 4, out_dtype=self.dtype,
-                act_scale=self._act_scale(x, q),
+                act_scale=site(x),
             )
         elif q is not None and self.up == 1 and self.down == 2:
+            assert not xq_in  # FIR pre-pass needs the float activation
             # FIR low-pass stays fp (depthwise, cheap); the dense strided conv
             # carries the FLOPs and runs int8 (same split as conv2d_resample).
             from ..ops.quant import int8_conv2d
@@ -186,6 +195,7 @@ class Conv2dLayer(nn.Module):
             )
         else:
             assert self.pack_mode is None, self.pack_mode
+            assert not xq_in
             f = jnp.asarray(_resample_filter_const(self.resample_filter))
             x = conv2d_resample(
                 x.astype(self.dtype),
@@ -243,6 +253,14 @@ class ResBlock(nn.Module):
         )
         pm_down = self.pack_mode  # skip/conv0 carry the down (or same) mode
         pm_conv1 = "same" if self.pack_mode == "same" else None
+
+        from ..ops.quant import is_int8, quantize_act_for
+
+        if (is_int8(self.quant) and self.up == 1
+                and (self.down == 1 or self.pack_mode == "in_down2")):
+            # skip and conv0 both consume x: one shared quantize pass
+            # (per-site scales otherwise defeat CSE — two full passes)
+            x = quantize_act_for(self, jnp.asarray(x).astype(self.dtype), self.quant)
         y = Conv2dLayer(
             self.in_channels, self.out_channels, 1, use_bias=False,
             up=self.up, down=self.down, pack_mode=pm_down, name="skip", **common,

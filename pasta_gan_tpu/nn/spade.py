@@ -37,7 +37,11 @@ class SpadeConv2dLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, gain: float = 1.0, no_act: bool = False) -> jax.Array:
+    def __call__(self, x, gain: float = 1.0, no_act: bool = False) -> jax.Array:
+        """`x` may be a `QuantizedActivation` (shared pre-quantized input,
+        int8 modes with no_act=True only)."""
+        from ..ops.quant import QuantizedActivation, is_int8
+
         k = self.kernel_size
         w = self.param(
             "weight",
@@ -51,10 +55,10 @@ class SpadeConv2dLayer(nn.Module):
             else None
         )
         if not no_act:
+            assert not isinstance(x, QuantizedActivation)
             act_gain = activation_funcs[self.activation].def_gain * gain
             act_clamp = self.conv_clamp * gain if self.conv_clamp is not None else None
             x = bias_act(x, b, axis=-1, act=self.activation, gain=act_gain, clamp=act_clamp)
-        from ..ops.quant import is_int8
 
         if is_int8(self.quant) and self.up == 1 and self.down == 1:
             from ..ops.quant import int8_conv2d, module_act_scale
@@ -64,8 +68,10 @@ class SpadeConv2dLayer(nn.Module):
                 w * weight_gain,
                 padding=(k // 2, k // 2, k // 2, k // 2),
                 out_dtype=self.dtype,
-                act_scale=module_act_scale(self, x, self.quant),
+                act_scale=None if isinstance(x, QuantizedActivation)
+                else module_act_scale(self, x, self.quant),
             )
+        assert not isinstance(x, QuantizedActivation)
         f = jnp.asarray(_resample_filter_const(self.resample_filter))
         return conv2d_resample(
             x.astype(self.dtype),
@@ -88,7 +94,11 @@ class SpadeNormBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, denorm_feats: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, denorm_feats) -> jax.Array:
+        """`denorm_feats` may arrive pre-quantized (QuantizedActivation) —
+        SpadeResBlock shares one quantize pass across its three norm blocks."""
+        from ..ops.quant import is_int8, quantize_act_for
+
         normalized = instance_norm_2d(x)
         common = dict(quant=self.quant, dtype=self.dtype)
         actv = SpadeConv2dLayer(
@@ -96,6 +106,9 @@ class SpadeNormBlock(nn.Module):
             name="conv_mlp", **common,
         )(denorm_feats, no_act=True)
         actv = jax.nn.relu(actv)
+        if is_int8(self.quant):
+            # one quantize pass feeds both gamma and beta convs
+            actv = quantize_act_for(self, actv, self.quant)
         gamma = SpadeConv2dLayer(
             self.norm_channels, self.norm_channels, 3, use_bias=False,
             name="conv_gamma", **common,
@@ -105,6 +118,20 @@ class SpadeNormBlock(nn.Module):
             name="conv_beta", **common,
         )(actv, no_act=True)
         return normalized * (1 + gamma) + beta
+
+
+class QuantizeSite(nn.Module):
+    """A named activation-quantization site: quantizes once (with its own
+    calibrated scale in the "quant_scales" collection) so several consumer
+    convs share one quantize pass (ops/quant.py QuantizedActivation)."""
+
+    quant: str
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        from ..ops.quant import quantize_act_for
+
+        return quantize_act_for(self, x, self.quant)
 
 
 class SpadeResBlock(nn.Module):
@@ -123,9 +150,16 @@ class SpadeResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, denorm_feat: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, denorm_feat) -> jax.Array:
+        from ..ops.quant import QuantizedActivation, is_int8, quantize_act_for
+
         feat_channels = (128 if self.resolution == 128 else 64) * self.feat_multiplier
         common = dict(conv_clamp=self.conv_clamp, quant=self.quant, dtype=self.dtype)
+
+        if is_int8(self.quant) and not isinstance(denorm_feat, QuantizedActivation):
+            # one quantize pass feeds all three norm blocks' conv_mlp
+            # (callers may hoist further and pass a QuantizedActivation)
+            denorm_feat = quantize_act_for(self, denorm_feat, self.quant)
 
         x = SpadeConv2dLayer(
             self.in_channels, self.in_channels, 3, use_bias=False, name="conv", **common

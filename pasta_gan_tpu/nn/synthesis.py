@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ..ops import bias_act, modulated_conv2d, upsample2d
 from .layers import Conv2dLayer, FullyConnectedLayer, ResBlock, activation_funcs, _resample_filter_const
-from .spade import SpadeResBlock
+from .spade import QuantizeSite, SpadeResBlock
 
 Dtype = Any
 
@@ -95,6 +95,9 @@ class SynthesisLayer(nn.Module):
                 else:
                     noise = noise[None, :, :, None]
 
+        from ..ops.quant import is_int8, module_act_scale
+
+        q = self.quant if is_int8(self.quant) else None
         f = jnp.asarray(_resample_filter_const(self.resample_filter))
         x = modulated_conv2d(
             x.astype(self.dtype),
@@ -107,9 +110,11 @@ class SynthesisLayer(nn.Module):
             flip_weight=(self.up == 1),
             packed_in=self.packed_in,
             packed_out=self.packed_out,
-            # style modulation makes per-sample dynamic ranges; static scales
-            # are unsafe here, so any int8 mode runs the dynamic path
-            quant="int8" if self.quant is not None else None,
+            quant=q,
+            # the site sees the MODULATED tensor; in static mode the
+            # calibrated amax absorbs the per-sample style range (dynamic
+            # per-sample scales cost ~4 ms/batch-16 of fused reductions)
+            quant_site=(lambda xm: module_act_scale(self, xm, q)) if q else None,
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         if self.packed_out:
@@ -506,6 +511,12 @@ class SynthesisNetworkFull(nn.Module):
         self.spade_b128_1 = SpadeResBlock(ch, ch, **sp)
         self.spade_b128_2 = SpadeResBlock(ch, ch, **sp)
         self.spade_b128_3 = SpadeResBlock(ch, ch, **sp)
+        from ..ops.quant import is_int8 as _is_int8
+
+        if _is_int8(self.quant):
+            # one quantize pass of spade_feat shared by all nine conv_mlp
+            # consumers across the three SPADE blocks
+            self.spade_feat_quant = QuantizeSite(self.quant)
 
         res = resolutions[-1]
         # V18's texture block builds (and discards) the mask heads, the Full
@@ -604,6 +615,10 @@ class SynthesisNetworkFull(nn.Module):
             jnp.concatenate([denorm_upper_input, denorm_lower_input], axis=0),
         )
         spade_feat = jnp.concatenate([spade_both[:N], spade_both[N:]], axis=-1)
+        from ..ops.quant import is_int8 as _is_int8
+
+        if _is_int8(self.quant):
+            spade_feat = self.spade_feat_quant(spade_feat)
 
         h = self.spade_b128_1(x_128, spade_feat)
         h = self.spade_b128_2(h, spade_feat)

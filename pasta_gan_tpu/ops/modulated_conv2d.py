@@ -34,7 +34,7 @@ exponent it is rarely needed but kept for parity/testing.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +59,10 @@ def modulated_conv2d(
     prenorm_for_half: bool = True,
     packed_in: bool = False,  # x is W-packed (ops/packing.py)
     packed_out: bool = False,  # emit W-packed output
-    quant: Optional[str] = None,  # "int8" serving mode (ops/quant.py); unpacked paths only
+    quant: Optional[str] = None,  # int8 serving mode (ops/quant.py)
+    quant_site: Optional[Callable] = None,  # called with the MODULATED tensor;
+    # returns a precomputed act scale (static/calib modes) or None (dynamic).
+    # Styles make per-sample ranges, so the caller owns the scale policy.
 ) -> jax.Array:
     """W-packed modes (TPU lane/MXU utilization for <=64-channel tensors, see
     ops/packing.py): supported combinations are (packed_in, packed_out) ==
@@ -107,11 +110,18 @@ def modulated_conv2d(
     else:
         x = x * styles.astype(x.dtype)[:, None, None, :]
 
+    from .quant import is_int8
+
+    def _site(xm):
+        # only invoked on branches that run int8 (keeps calib/static site
+        # sets identical and avoids dead amax passes on fp fallbacks)
+        return quant_site(xm) if (quant_site is not None and is_int8(quant)) else None
+
     if packed_in and packed_out:
-        x = conv_packed_same(x, weight, quant=quant)
+        x = conv_packed_same(x, weight, quant=quant, act_scale=_site(x))
     elif packed_out:  # up=2 folded path (asserts above pin the convention)
         assert resample_filter is not None and padding == kh // 2
-        x = conv_packed_up2(x, weight, resample_filter, quant=quant)
+        x = conv_packed_up2(x, weight, resample_filter, quant=quant, act_scale=_site(x))
     elif (
         up == 2 and down == 1 and not flip_weight and resample_filter is not None
         and kh == 3 and kw == 3 and padding == 1
@@ -125,18 +135,19 @@ def modulated_conv2d(
         from .packing import fold_up_weights
 
         G = fold_up_weights(weight, resample_filter, gain=4.0)
-        if quant == "int8":
+        if is_int8(quant):
             from .quant import int8_conv2d
 
             x = int8_conv2d(
-                x, G, padding=(3, 3, 3, 3), lhs_dilation=(2, 2), out_dtype=x.dtype
+                x, G, padding=(3, 3, 3, 3), lhs_dilation=(2, 2), out_dtype=x.dtype,
+                act_scale=_site(x),
             )
         else:
             x = jax.lax.conv_general_dilated(
                 x, G.astype(x.dtype), (1, 1), ((3, 3), (3, 3)), lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-    elif quant == "int8" and up == 1 and down == 1:
+    elif is_int8(quant) and up == 1 and down == 1:
         from .quant import int8_conv2d
 
         x = int8_conv2d(
@@ -145,6 +156,7 @@ def modulated_conv2d(
             padding=(padding, padding, padding, padding),
             flip_weight=flip_weight,
             out_dtype=x.dtype,
+            act_scale=_site(x),
         )
     else:
         x = conv2d_resample(

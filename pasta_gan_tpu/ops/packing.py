@@ -144,9 +144,9 @@ def pack_conv1_weights_grouped(w: jax.Array, group_sizes) -> jax.Array:
     return _materialize(wp)
 
 
-def conv_packed_out_stride(x: jax.Array, w: jax.Array,
+def conv_packed_out_stride(x, w: jax.Array,
                            quant: Optional[str] = None,
-                           act_scale=None) -> jax.Array:
+                           act_scale=None, out_dtype=None) -> jax.Array:
     """Same-res conv from UNPACKED input emitting PACKED output.
 
     Implemented as a stride-(1,2) conv with x-kernel k+1 (output phase b at
@@ -164,7 +164,7 @@ def conv_packed_out_stride(x: jax.Array, w: jax.Array,
 
         return int8_conv_like(
             x, wp, window_strides=(1, 2),
-            padding_hw=((kh // 2, kh // 2), (r, r + 1)), out_dtype=x.dtype,
+            padding_hw=((kh // 2, kh // 2), (r, r + 1)), out_dtype=(out_dtype or x.dtype),
             act_scale=act_scale,
         )
     return jax.lax.conv_general_dilated(
@@ -173,10 +173,10 @@ def conv_packed_out_stride(x: jax.Array, w: jax.Array,
     )
 
 
-def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
+def conv_packed_in_down2(x, w: jax.Array, f: jax.Array,
                          flip_weight: bool = True,
                          quant: Optional[str] = None,
-                         act_scale=None) -> jax.Array:
+                         act_scale=None, out_dtype=None) -> jax.Array:
     """FIR low-pass + stride-2 conv consuming PACKED input, UNPACKED output.
 
     Folds the reference down path (conv2d_resample down=2: upfirdn(f, pad
@@ -215,7 +215,7 @@ def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
 
         return int8_conv_like(
             x, Gp, window_strides=(2, 1),
-            padding_hw=((py0, py1), (-ts[0], Kt - 1 + ts[0])), out_dtype=x.dtype,
+            padding_hw=((py0, py1), (-ts[0], Kt - 1 + ts[0])), out_dtype=(out_dtype or x.dtype),
             act_scale=act_scale,
         )
     return jax.lax.conv_general_dilated(
@@ -224,9 +224,9 @@ def conv_packed_in_down2(x: jax.Array, w: jax.Array, f: jax.Array,
     )
 
 
-def conv_packed_same(x: jax.Array, w: jax.Array,
+def conv_packed_same(x, w: jax.Array,
                      quant: Optional[str] = None,
-                     act_scale=None) -> jax.Array:
+                     act_scale=None, out_dtype=None) -> jax.Array:
     """Same-resolution conv in the packed domain.
 
     x: [N, H, Wp, 2I]; w: [kh, kw, I, O] UNPACKED weights (kw odd).
@@ -237,7 +237,7 @@ def conv_packed_same(x: jax.Array, w: jax.Array,
     if quant is not None:
         from .quant import int8_conv_like
 
-        return int8_conv_like(x, wp, padding_hw=pad, out_dtype=x.dtype,
+        return int8_conv_like(x, wp, padding_hw=pad, out_dtype=(out_dtype or x.dtype),
                               act_scale=act_scale)
     return jax.lax.conv_general_dilated(
         x,
@@ -248,9 +248,9 @@ def conv_packed_same(x: jax.Array, w: jax.Array,
     )
 
 
-def conv_packed_up2(x: jax.Array, w: jax.Array, f: jax.Array,
+def conv_packed_up2(x, w: jax.Array, f: jax.Array,
                     quant: Optional[str] = None,
-                    act_scale=None) -> jax.Array:
+                    act_scale=None, out_dtype=None) -> jax.Array:
     """The up=2 modulated-conv resample path, emitting packed output.
 
     x: [N, H, W, I] UNPACKED input; w: [3, 3, I, O] (flip_weight=False
@@ -264,7 +264,7 @@ def conv_packed_up2(x: jax.Array, w: jax.Array, f: jax.Array,
 
         return int8_conv_like(
             x, Gp, padding_hw=((3, 3), (1, 1)), lhs_dilation=(2, 1),
-            out_dtype=x.dtype, act_scale=act_scale,
+            out_dtype=(out_dtype or x.dtype), act_scale=act_scale,
         )
     return jax.lax.conv_general_dilated(
         x,

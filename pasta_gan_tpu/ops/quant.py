@@ -26,10 +26,25 @@ and is validated by distribution-level checks (pixel deltas + FID proxy in
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+
+
+class QuantizedActivation(NamedTuple):
+    """An activation already quantized to int8 with its dequant scale.
+
+    Pass this in place of a float activation to `int8_conv_like` /
+    `int8_conv2d` to reuse ONE quantize pass across several consumer convs.
+    Per-site scales defeat XLA CSE (quantize(x, s1) != quantize(x, s2)), so
+    sharing must be structural: the profiled static-mode forward spent ~6 ms
+    of 32 re-quantizing the same SPADE tensors per consumer (BASELINE.md
+    round-3 serving section).
+    """
+
+    q: jax.Array  # int8, same shape as the original activation
+    scale: jax.Array  # f32 dequant scale, broadcastable ([N,1,1,1] or scalar)
 
 
 def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -98,8 +113,19 @@ def quantize_act_with_scale(x: jax.Array, s: jax.Array):
     return xq, s
 
 
+def quantize_act_for(mod, x: jax.Array, quant: str) -> QuantizedActivation:
+    """Quantize an activation ONCE at a module site for sharing across all
+    consumer convs (mode dispatch: dynamic / calib / static)."""
+    s = module_act_scale(mod, x, quant)
+    if s is None:
+        xq, sx = quantize_act(x)
+    else:
+        xq, sx = quantize_act_with_scale(x, s)
+    return QuantizedActivation(xq, sx)
+
+
 def int8_conv_like(
-    x: jax.Array,  # [N, H, W, I] float
+    x: Union[jax.Array, QuantizedActivation],  # [N, H, W, I] float | pre-quantized
     w: jax.Array,  # [kh, kw, I, O] float (assembled/gain-scaled; correlation)
     *,
     window_strides: Tuple[int, int] = (1, 1),
@@ -110,7 +136,9 @@ def int8_conv_like(
 ) -> jax.Array:
     """W8A8 drop-in for a `lax.conv_general_dilated(NHWC, HWIO)` call."""
     wq, sw = quantize_weight(w)
-    if act_scale is not None:
+    if isinstance(x, QuantizedActivation):
+        xq, sx = x
+    elif act_scale is not None:
         xq, sx = quantize_act_with_scale(x, act_scale)
     else:
         xq, sx = quantize_act(x)
@@ -127,7 +155,7 @@ def int8_conv_like(
 
 
 def int8_conv2d(
-    x: jax.Array,  # [N, H, W, I] float
+    x: Union[jax.Array, QuantizedActivation],  # [N, H, W, I] float | pre-quantized
     w: jax.Array,  # [kh, kw, I, O] float (HWIO, already gain-scaled)
     *,
     padding: Tuple[int, int, int, int] = (0, 0, 0, 0),  # (px0, px1, py0, py1)
