@@ -93,6 +93,12 @@ class AdaConfig:
     # gather/scatter rows fwd+bwd; exact for axis-aligned draws, slightly
     # different linear reconstruction for rotated ones (documented fast mode)
     fast_geom: bool = False
+    # stack the per-loss ADA+D invocations into one batched call (g_loss:
+    # img+ft_img, d_loss: img+ft_img+real).  Distribution-identical (augment
+    # draws are per-sample; mbstd groups align on the batch boundaries); off
+    # by default because the exact warp's supersampled intermediates scale
+    # with the stacked batch and can OOM next to the VGG backward.
+    stack_calls: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -200,10 +200,24 @@ class GANTrainer:
     def _run_D_multi(self, d_params, imgs, c, ada_p, rng):
         """Run the ADA pipe + D over several image batches.
 
-        NOTE: stacking the batches into ONE augment invocation was measured to
-        OOM HBM at full size (the warp's supersampled intermediates scale with
-        the stacked batch and coexist with the VGG backward); sequential calls
-        let XLA schedule the augment buffers disjointly."""
+        Two execution modes (ada.stack_calls):
+        * sequential (default): one augment+D invocation per batch — the
+          exact warp's supersampled intermediates scale with the stacked
+          batch and were measured to OOM HBM next to the VGG backward;
+        * stacked: ONE batched augment+D call.  Distribution-identical
+          (augment draws are per-sample; mbstd group stats align because
+          each sub-batch is a multiple of the group size) and amortizes the
+          pipe's fixed passes — the fast_geom two-pass warp's intermediates
+          are small enough to afford it.
+        """
+        if (self.config.ada.stack_calls and len(imgs) > 1
+                and self.augment_fn is not None):
+            n = imgs[0].shape[0]
+            stacked = self._augment(jnp.concatenate(imgs, axis=0), ada_p, rng)
+            logits = self.disc.apply(
+                d_params, stacked, jnp.concatenate([c] * len(imgs), axis=0)
+            )
+            return [logits[i * n : (i + 1) * n] for i in range(len(imgs))]
         rngs = jax.random.split(rng, len(imgs))
         return [
             self.disc.apply(d_params, self._augment(img, ada_p, r), c)

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--ada", action="store_true")
     ap.add_argument("--fast-geom", action="store_true",
                     help="use the shear-decomposed fast ADA warp")
+    ap.add_argument("--stack", action="store_true",
+                    help="stack the per-loss ADA+D calls into one batched call")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--res", type=int, default=256)
@@ -51,7 +53,8 @@ def main():
             mapping_layers=1,
         ),
         loss=LossConfig(l1_weight=40.0, vgg_weight=40.0, mask_weight=20.0, r1_gamma=10.0),
-        ada=AdaConfig(enabled=args.ada, fast_geom=args.fast_geom),
+        ada=AdaConfig(enabled=args.ada, fast_geom=args.fast_geom,
+                      stack_calls=args.stack),
         batch_size=args.batch,
         compute_dtype=args.dtype,
     )
@@ -97,6 +100,7 @@ def main():
         "dtype": args.dtype,
         "ada": args.ada,
         "fast_geom": args.fast_geom,
+        "stack": args.stack,
         "imgs_per_sec": round(N / med, 1),
     }))
 

@@ -101,6 +101,36 @@ def test_train_step_single_device():
     assert float(r1_stats["Loss/r1_penalty"]) >= 0
 
 
+def test_train_step_stacked_ada_calls():
+    """ada.stack_calls batches the per-loss augment+D invocations into one
+    call; the step must run and the un-stacked logits split must line up
+    (mbstd groups align because each sub-batch is a group-size multiple)."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, ada=dataclasses.replace(cfg.ada, stack_calls=True))
+    trainer = GANTrainer(cfg)
+    batch = synth_batch(0, 4, cfg.model.img_resolution)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    state1, stats = jax.jit(trainer.train_step)(state, batch, jax.random.PRNGKey(1))
+    assert _finite(stats)
+    assert _finite(state1.g_params)
+
+    # the stacked _run_D_multi splits back into per-batch logits that match
+    # the sequential execution: at p=0 every gate draws the identity
+    # transform, so both modes run the SAME (deterministic) pipe and only
+    # the batching differs (mbstd groups align on sub-batch boundaries)
+    trainer_seq = GANTrainer(tiny_config())
+    imgs = [batch["real_img"], batch["real_img"][::-1]]
+    c = jnp.zeros((4, 512))
+    p0 = jnp.asarray(0.0)
+    outs = trainer._run_D_multi(state1.d_params, imgs, c, p0, jax.random.PRNGKey(3))
+    ref = trainer_seq._run_D_multi(state1.d_params, imgs, c, p0, jax.random.PRNGKey(4))
+    assert len(outs) == 2 and all(o.shape[0] == 4 for o in outs)
+    for o, r in zip(outs, ref):
+        # batched-vs-sequential conv reduction orders differ by ~1e-3
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=5e-3, atol=5e-3)
+
+
 def test_train_step_data_parallel_8dev():
     assert len(jax.devices()) == 8
     cfg = tiny_config()
