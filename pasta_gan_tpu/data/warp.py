@@ -252,7 +252,32 @@ def warp_perspective(
 
 
 # vmap over the 10 parts (matrices differ, image shared).
-_warp_parts = jax.vmap(warp_perspective, in_axes=(None, 0, None, None))
+_warp_parts_gather = jax.vmap(warp_perspective, in_axes=(None, 0, None, None))
+
+
+def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
+    """Per-part NORM warps (full frame -> small patches).
+
+    On TPU the bilinear gather is per-ROW latency bound (~21 ns/row;
+    917k rows/batch-16 across the 14 norm warps = 19.3 of the 39 ms routing
+    program, plus ~5 ms of gather-layout copies), and the plain jnp
+    hat-matmul materializes a multi-GB half-contraction — the fused Pallas
+    kernel (ops/pallas_warp.py:_norm_kernel) runs both contractions in VMEM
+    with lossless 2D source-tile skipping.  CPU keeps the gather form (the
+    routing parity suite runs on CPU and pins the gather semantics;
+    tests/test_matmul_warp.py and test_norm_pallas.py pin gather == matmul
+    == kernel)."""
+    Hs, Ws = int(img.shape[0]), int(img.shape[1])
+    h, w = out_hw
+    if (
+        _on_tpu()
+        and Hs == Ws and Hs % 4 == 0
+        and (w & (w - 1)) == 0 and (h * w) % (16 * w) == 0
+    ):
+        from ..ops.pallas_warp import warp_frame_to_parts_pallas
+
+        return warp_frame_to_parts_pallas(img, Ms, out_hw, border)
+    return _warp_parts_gather(img, Ms, out_hw, border)
 
 
 class RoutedPatches(NamedTuple):

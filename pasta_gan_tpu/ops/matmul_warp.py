@@ -75,8 +75,11 @@ def warp_perspective_inv_matmul(
     sx = sx.reshape(-1)
     sy = sy.reshape(-1)
     if border == "replicate":
-        sx = jnp.clip(sx, 0.0, Ws - 1)
-        sy = jnp.clip(sy, 0.0, Hs - 1)
+        # nan_to_num first: invalid-part DLT matrices are singular and their
+        # inverse yields nan coords; clip alone would propagate the nan into
+        # the hats (the gather path is nan-safe via its int cast + CLIP mode)
+        sx = jnp.clip(jnp.nan_to_num(sx, nan=0.0), 0.0, Ws - 1)
+        sy = jnp.clip(jnp.nan_to_num(sy, nan=0.0), 0.0, Hs - 1)
     else:  # constant zeros: hats vanish outside [-1, size]; sanitize the
         # coords so degenerate matrices (inf/nan from near-zero denom or an
         # invalid-part DLT) zero out instead of poisoning the contraction.

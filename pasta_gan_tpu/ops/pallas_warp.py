@@ -152,6 +152,203 @@ _support_row_flags_v = jax.vmap(
 )
 
 
+def _norm_kernel(
+    minv_ref, yflags_ref, xflags_ref, srcA_ref, out_ref, t_ref, acc_ref,
+    *, Hs, Ws, st, W, log2_w, C, P, border, n_y, n_x,
+):
+    """NORM direction (full frame -> small patch) with 2D source-tile
+    skipping.  The contraction over the big source is blocked into
+    [C*st, st] tiles; a (j, k) block whose source rows/cols lie outside the
+    dst tile's projected sample bbox contributes exactly zero (every hat
+    weight vanishes there), so skipping it is lossless — the flags are
+    computed from projected corner bboxes in the wrapper."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+
+    m00 = minv_ref[i, 0]
+    m01 = minv_ref[i, 1]
+    m02 = minv_ref[i, 2]
+    m10 = minv_ref[i, 3]
+    m11 = minv_ref[i, 4]
+    m12 = minv_ref[i, 5]
+    m20 = minv_ref[i, 6]
+    m21 = minv_ref[i, 7]
+    m22 = minv_ref[i, 8]
+
+    pidx = t * P + jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    gx = (pidx & (W - 1)).astype(jnp.float32)  # [1, P]
+    gy = (pidx >> log2_w).astype(jnp.float32)
+
+    denom = m20 * gx + m21 * gy + m22
+    denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+    sx = (m00 * gx + m01 * gy + m02) / denom
+    sy = (m10 * gx + m11 * gy + m12) / denom
+    if border == "replicate":
+        sx = jnp.clip(sx, 0.0, float(Ws - 1))
+        sy = jnp.clip(sy, 0.0, float(Hs - 1))
+        sx = jnp.where(jnp.isfinite(sx), sx, 0.0)
+        sy = jnp.where(jnp.isfinite(sy), sy, 0.0)
+    else:
+        sx = jnp.clip(sx, -2.0, float(Ws + 1))
+        sy = jnp.clip(sy, -2.0, float(Hs + 1))
+        sx = jnp.where(jnp.isfinite(sx), sx, -2.0)
+        sy = jnp.where(jnp.isfinite(sy), sy, -2.0)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (st, P), 0).astype(jnp.float32)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for j in range(n_y):
+        @pl.when(yflags_ref[i, t, j] != 0)
+        def _(j=j):
+            B = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (sub + j * st)))  # [st, P]
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for k in range(n_x):
+                @pl.when(xflags_ref[i, t, k] != 0)
+                def _(j=j, k=k):
+                    A = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (sub + k * st)))
+                    t_ref[...] += _dot_bf16x3(
+                        srcA_ref[j][:, k * st : (k + 1) * st], A
+                    )  # [C*st, P]
+            Bw = pltpu.repeat(B, C, axis=0)  # [C*st, P]
+            X = Bw * t_ref[...]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (C, C * st), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (C, C * st), 1)
+            EC = (cols // st == rows).astype(jnp.bfloat16)
+            X_hi = X.astype(jnp.bfloat16)
+            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc_ref[...] += (
+                jnp.dot(EC, X_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(EC, X_lo, preferred_element_type=jnp.float32)
+            )
+    out_ref[0] = acc_ref[...]
+
+
+def _tile_src_flags(Minv, valid, out_hw, rows_per_tile, Hs, Ws, st, n_y, n_x, border):
+    """Per (dst row-tile) source-tile overlap flags from projected corners.
+
+    Projects each dst tile's corner rectangle (extended 1px for the hat
+    support) through the dst->src homography; a convex quad's bbox bounds
+    every sample coordinate when all corner denominators are positive —
+    degenerate cases fall back to "all tiles".  Returns (yflags [T, n_y],
+    xflags [T, n_x]) int32."""
+    h, w = out_hw
+    n_t = (h * w) // (rows_per_tile * w)
+    y0 = jnp.arange(n_t, dtype=jnp.float32) * rows_per_tile - 1.0
+    y1 = y0 + rows_per_tile + 1.0
+    ones = jnp.ones((n_t,), jnp.float32)
+    corners = jnp.stack(
+        [
+            jnp.stack([-ones, y0, ones], -1),
+            jnp.stack([ones * w, y0, ones], -1),
+            jnp.stack([-ones, y1, ones], -1),
+            jnp.stack([ones * w, y1, ones], -1),
+        ],
+        axis=1,
+    )  # [T, 4, 3]
+    pc = jnp.einsum("ij,tcj->tci", Minv, corners)  # [T, 4, 3]
+    wd = pc[..., 2]
+    safe = jnp.all(wd > 1e-6, axis=1) & jnp.all(jnp.isfinite(pc), axis=(1, 2))
+    wd = jnp.where(jnp.abs(wd) < 1e-6, 1e-6, wd)
+    xs = pc[..., 0] / wd
+    ys = pc[..., 1] / wd
+    if border == "replicate":
+        xs = jnp.clip(xs, 0.0, Ws - 1.0)
+        ys = jnp.clip(ys, 0.0, Hs - 1.0)
+    xmin = jnp.where(safe, jnp.floor(jnp.min(xs, axis=1)) - 1.0, 0.0)
+    xmax = jnp.where(safe, jnp.ceil(jnp.max(xs, axis=1)) + 1.0, float(Ws))
+    ymin = jnp.where(safe, jnp.floor(jnp.min(ys, axis=1)) - 1.0, 0.0)
+    ymax = jnp.where(safe, jnp.ceil(jnp.max(ys, axis=1)) + 1.0, float(Hs))
+    ky = jnp.arange(n_y, dtype=jnp.float32) * st
+    kx = jnp.arange(n_x, dtype=jnp.float32) * st
+    yf = (ymin[:, None] <= ky[None] + st - 1) & (ymax[:, None] >= ky[None])
+    xf = (xmin[:, None] <= kx[None] + st - 1) & (xmax[:, None] >= kx[None])
+    yf = yf & valid
+    xf = xf & valid
+    return yf.astype(jnp.int32), xf.astype(jnp.int32)
+
+
+_tile_src_flags_v = jax.vmap(
+    _tile_src_flags, in_axes=(0, 0, None, None, None, None, None, None, None, None)
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "border", "rows_per_tile", "src_tiles", "interpret"),
+)
+def warp_frame_to_parts_pallas(
+    src: jnp.ndarray,  # [Hs, Ws, C] full source frame (shared by all parts)
+    M_fwd: jnp.ndarray,  # [P_parts, 3, 3] frame->patch (cv2 convention)
+    out_hw: tuple[int, int],
+    border: str = "replicate",
+    valid: jnp.ndarray | None = None,
+    rows_per_tile: int = 16,
+    src_tiles: int = 4,
+    interpret: bool = False,  # run the kernel in interpret mode (CPU CI)
+) -> jnp.ndarray:
+    """NORM-direction batched warp (one big frame -> N small patches),
+    matching vmap(warp_perspective, (None, 0, None, None))(src, M_fwd) with
+    constant/replicate borders.  The source contraction is blocked
+    [src_tiles x src_tiles] with lossless per-(dst-tile) skipping — see
+    _norm_kernel.  The gather formulation is per-row latency bound on TPU
+    (~21 ns/row; BASELINE.md round-3); this runs on the MXU."""
+    Hs, Ws, C = src.shape
+    N = M_fwd.shape[0]
+    h, w = out_hw
+    assert w & (w - 1) == 0, f"out width {w} must be a power of two"
+    assert Hs % src_tiles == 0 and Ws % src_tiles == 0, (Hs, Ws, src_tiles)
+    st = Hs // src_tiles
+    assert Ws // src_tiles == st, "square source tiling only"
+    P = rows_per_tile * w
+    assert (h * w) % P == 0
+    log2_w = w.bit_length() - 1
+    n_tiles = (h * w) // P
+    n_y = n_x = src_tiles
+
+    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))
+    minv9 = Minv.reshape(N, 9)
+    if valid is None:
+        valid_b = jnp.ones((N,), bool)
+    else:
+        valid_b = valid.astype(bool)
+    yflags, xflags = _tile_src_flags_v(
+        Minv, valid_b, out_hw, rows_per_tile, Hs, Ws, st, n_y, n_x, border
+    )  # [N, n_tiles, n_y], [N, n_tiles, n_x]
+    minv9, yflags, xflags = jax.lax.optimization_barrier((minv9, yflags, xflags))
+
+    # [n_y, C*st, Ws]: block row j holds channel-major rows j*st..j*st+st
+    srcA = (
+        jnp.transpose(src.astype(jnp.float32), (2, 0, 1))  # [C, Hs, Ws]
+        .reshape(C, n_y, st, Ws)
+        .transpose(1, 0, 2, 3)
+        .reshape(n_y, C * st, Ws)
+    )
+
+    kernel = functools.partial(
+        _norm_kernel, Hs=Hs, Ws=Ws, st=st, W=w, log2_w=log2_w, C=C, P=P,
+        border=border, n_y=n_y, n_x=n_x,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # minv9, yflags, xflags in SMEM
+        grid=(N, n_tiles),
+        in_specs=[
+            pl.BlockSpec((n_y, C * st, Ws), lambda i, t, *_: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, P), lambda i, t, *_: (i, 0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((C * st, P), jnp.float32),
+            pltpu.VMEM((C, P), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, C, h * w), jnp.float32),
+        interpret=interpret,
+    )(minv9, yflags, xflags, srcA)
+    return jnp.transpose(out.reshape(N, C, h, w), (0, 2, 3, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "border", "rows_per_tile"))
 def warp_parts_pallas(
     src: jnp.ndarray,  # [N, Hs, Ws, C] float source patches
