@@ -51,9 +51,31 @@ def denorm_warp_parts(
         rows = max(1, min(16, (1 << 20) // (C * Hs * out_hw[1])))
         while out_hw[0] % rows:
             rows -= 1
-        return warp_parts_pallas(
-            src, M, out_hw, "constant", valid=valid, rows_per_tile=rows
-        )
+
+        # custom_vmap: vmapping a scalar-prefetch pallas_call falls back to
+        # a serial lax.map (16 sequential dispatches measured 5.5 ms); the
+        # batch rule flattens [B, P] -> [B*P] parts into ONE pipelined grid.
+        @jax.custom_batching.custom_vmap
+        def _dn(src, M, valid):
+            return warp_parts_pallas(
+                src, M, out_hw, "constant", valid=valid, rows_per_tile=rows
+            )
+
+        @_dn.def_vmap
+        def _dn_vmap(axis_size, in_batched, src, M, valid):
+            assert all(in_batched), in_batched
+            B, N = src.shape[0], src.shape[1]
+            out = warp_parts_pallas(
+                src.reshape((B * N,) + src.shape[2:]),
+                M.reshape(B * N, 3, 3),
+                out_hw,
+                "constant",
+                valid=valid.reshape(B * N),
+                rows_per_tile=rows,
+            )
+            return out.reshape((B, N) + out.shape[1:]), True
+
+        return _dn(src, M, valid)
     out = jax.vmap(
         lambda s, m: warp_perspective_matmul(s, m, out_hw, "constant")
     )(src, M)
@@ -274,9 +296,23 @@ def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
         and Hs == Ws and Hs % 4 == 0
         and (w & (w - 1)) == 0 and (h * w) % (16 * w) == 0
     ):
-        from ..ops.pallas_warp import warp_frame_to_parts_pallas
+        from ..ops.pallas_warp import (
+            warp_frame_to_parts_pallas,
+            warp_frame_to_parts_pallas_batched,
+        )
 
-        return warp_frame_to_parts_pallas(img, Ms, out_hw, border)
+        # custom_vmap: route vmapped callers (route_patches_*_batch) into
+        # ONE batched kernel grid instead of a serial per-sample lax.map
+        @jax.custom_batching.custom_vmap
+        def _norm(img, Ms):
+            return warp_frame_to_parts_pallas(img, Ms, out_hw, border)
+
+        @_norm.def_vmap
+        def _norm_vmap(axis_size, in_batched, img, Ms):
+            assert all(in_batched), in_batched
+            return warp_frame_to_parts_pallas_batched(img, Ms, out_hw, border), True
+
+        return _norm(img, Ms)
     return _warp_parts_gather(img, Ms, out_hw, border)
 
 

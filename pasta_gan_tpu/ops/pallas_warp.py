@@ -207,7 +207,7 @@ def _norm_kernel(
                 def _(j=j, k=k):
                     A = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (sub + k * st)))
                     t_ref[...] += _dot_bf16x3(
-                        srcA_ref[j][:, k * st : (k + 1) * st], A
+                        srcA_ref[0, j][:, k * st : (k + 1) * st], A
                     )  # [C*st, P]
             Bw = pltpu.repeat(B, C, axis=0)  # [C*st, P]
             X = Bw * t_ref[...]
@@ -332,7 +332,7 @@ def warp_frame_to_parts_pallas(
         num_scalar_prefetch=3,  # minv9, yflags, xflags in SMEM
         grid=(N, n_tiles),
         in_specs=[
-            pl.BlockSpec((n_y, C * st, Ws), lambda i, t, *_: (0, 0, 0)),
+            pl.BlockSpec((1, n_y, C * st, Ws), lambda i, t, *_: (0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, C, P), lambda i, t, *_: (i, 0, t)),
         scratch_shapes=[
@@ -345,8 +345,84 @@ def warp_frame_to_parts_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C, h * w), jnp.float32),
         interpret=interpret,
-    )(minv9, yflags, xflags, srcA)
+    )(minv9, yflags, xflags, srcA[None])
     return jnp.transpose(out.reshape(N, C, h, w), (0, 2, 3, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "border", "rows_per_tile", "src_tiles", "interpret"),
+)
+def warp_frame_to_parts_pallas_batched(
+    src: jnp.ndarray,  # [B, Hs, Ws, C] source frames
+    M_fwd: jnp.ndarray,  # [B, N, 3, 3] frame->patch (cv2 convention)
+    out_hw: tuple[int, int],
+    border: str = "replicate",
+    valid: jnp.ndarray | None = None,  # [B, N]
+    rows_per_tile: int = 16,
+    src_tiles: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched NORM warp in ONE kernel launch: grid (B*N, n_tiles), each
+    frame shared by its N part programs via the src index_map.  vmap of the
+    single-frame entry falls back to a serial lax.map (scalar-prefetch
+    operands have no batching rule) — 16 sequential dispatches measured
+    ~2.9 ms vs one pipelined grid; data/warp.py routes vmapped callers here
+    through a custom_vmap rule."""
+    B, Hs, Ws, C = src.shape
+    N = M_fwd.shape[1]
+    h, w = out_hw
+    assert w & (w - 1) == 0, f"out width {w} must be a power of two"
+    st = Hs // src_tiles
+    assert Ws // src_tiles == st and Hs % src_tiles == 0 and Ws % src_tiles == 0
+    P = rows_per_tile * w
+    assert (h * w) % P == 0
+    log2_w = w.bit_length() - 1
+    n_tiles = (h * w) // P
+    n_y = n_x = src_tiles
+
+    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))  # [B, N, 3, 3]
+    minv9 = Minv.reshape(B * N, 9)
+    if valid is None:
+        valid_b = jnp.ones((B, N), bool)
+    else:
+        valid_b = valid.astype(bool)
+    yflags, xflags = _tile_src_flags_v(
+        Minv.reshape(B * N, 3, 3), valid_b.reshape(B * N), out_hw,
+        rows_per_tile, Hs, Ws, st, n_y, n_x, border,
+    )
+    minv9, yflags, xflags = jax.lax.optimization_barrier((minv9, yflags, xflags))
+
+    srcA = (
+        jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2))  # [B, C, Hs, Ws]
+        .reshape(B, C, n_y, st, Ws)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, n_y, C * st, Ws)
+    )
+
+    kernel = functools.partial(
+        _norm_kernel, Hs=Hs, Ws=Ws, st=st, W=w, log2_w=log2_w, C=C, P=P,
+        border=border, n_y=n_y, n_x=n_x,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B * N, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n_y, C * st, Ws), lambda i, t, *_: (i // N, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, P), lambda i, t, *_: (i, 0, t)),
+        scratch_shapes=[
+            pltpu.VMEM((C * st, P), jnp.float32),
+            pltpu.VMEM((C, P), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B * N, C, h * w), jnp.float32),
+        interpret=interpret,
+    )(minv9, yflags, xflags, srcA)
+    return jnp.transpose(out.reshape(B, N, C, h, w), (0, 1, 3, 4, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "border", "rows_per_tile"))
