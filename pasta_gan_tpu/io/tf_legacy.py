@@ -1,0 +1,192 @@
+"""Legacy TensorFlow StyleGAN2 pickle conversion (reference `legacy.py`).
+
+The reference's `load_network_pkl` detects 3-tuples of `dnnlib.tflib.network.
+Network` stubs (TF StyleGAN2 / StyleGAN2-ADA exports) and converts them to
+torch modules by variable-name pattern matching (`legacy.py:20-28,64-110,
+207-287`).  This module provides the TPU-native equivalent:
+
+* `_LegacyUnpickler` maps ONLY `dnnlib.tflib.network.Network` to a plain
+  data stub — no TF (or any) code object is ever executed, matching the
+  checkpoint-safety stance of `io/checkpoints.py`;
+* `collect_tf_params` flattens the stub's variable tree (`legacy.py:76-86`);
+* `convert_tf_discriminator` fills OUR `nn.discriminator.Discriminator`
+  variables from the TF names (`legacy.py:207-287`).  TF stores conv
+  weights [kh, kw, in, out] — exactly our HWIO layout, so unlike the torch
+  conversion no conv transpose is needed; dense weights transpose
+  [in, out] -> [out, in].
+
+The GENERATOR conversion (`legacy.py:116-204`) targets the stock
+unconditional StyleGAN2 synthesis network, which none of the PASTA-GAN
+model families use (every cluster replaces the const-input synthesis with
+pose/style encoders); there is no landing target in this zoo, so TF
+generator pickles raise with a pointer to the torch path
+(`io/torch_import.py`) used by every PASTA-GAN checkpoint.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+class TFNetworkStub(dict):
+    """Stand-in for dnnlib.tflib.network.Network: a dict of the pickled
+    attributes (version, static_kwargs, variables, components, ...)."""
+
+    def __setstate__(self, state):
+        self.update(state)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+class _LegacyUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module == "dnnlib.tflib.network" and name == "Network":
+            return TFNetworkStub
+        return super().find_class(module, name)
+
+
+def load_tf_network_stubs(f):
+    """Unpickle a legacy TF pickle; returns (G, D, Gs) stubs or None if the
+    payload is not a legacy TF 3-tuple (reference `legacy.py:23-24`)."""
+    data = _LegacyUnpickler(f).load()
+    if (
+        isinstance(data, tuple)
+        and len(data) == 3
+        and all(isinstance(net, TFNetworkStub) for net in data)
+    ):
+        return data
+    return None
+
+
+def collect_tf_params(tf_net: TFNetworkStub) -> Dict[str, np.ndarray]:
+    """Flatten variables of a stub and its components (`legacy.py:76-86`)."""
+    tf_params: Dict[str, np.ndarray] = {}
+
+    def recurse(prefix, net):
+        for name, value in net.variables:
+            tf_params[prefix + name] = np.asarray(value)
+        for name, comp in dict(net.get("components", {})).items():
+            recurse(prefix + name + "/", comp)
+
+    recurse("", tf_net)
+    return tf_params
+
+
+def discriminator_kwargs_from_tf(tf_D: TFNetworkStub) -> dict:
+    """TF static_kwargs -> our Discriminator constructor kwargs
+    (`legacy.py:211-247`)."""
+    if tf_D.version < 4:
+        raise ValueError("TensorFlow pickle version too low")
+    kw = dict(tf_D.static_kwargs)
+    mapped = dict(
+        c_dim=kw.get("label_size", 0),
+        img_resolution=kw.get("resolution", 1024),
+        img_channels=kw.get("num_channels", 3),
+        architecture=kw.get("architecture", "resnet"),
+        channel_base=kw.get("fmap_base", 16384) * 2,
+        channel_max=kw.get("fmap_max", 512),
+        conv_clamp=kw.get("conv_clamp", None),
+        cmap_dim=kw.get("mapping_fmaps", None),
+        activation=kw.get("nonlinearity", "lrelu"),
+        mbstd_group_size=kw.get("mbstd_group_size", None),
+        mbstd_num_channels=kw.get("mbstd_num_features", 1),
+    )
+    known = {
+        "label_size", "resolution", "num_channels", "architecture",
+        "fmap_base", "fmap_max", "num_fp16_res", "conv_clamp",
+        "mapping_fmaps", "nonlinearity", "resample_kernel", "freeze_layers",
+        "mapping_layers", "mapping_lrmul", "mbstd_group_size",
+        "mbstd_num_features", "structure",
+    }
+    unknown = set(kw) - known
+    if unknown:
+        raise ValueError(f"Unknown TensorFlow kwarg {sorted(unknown)[0]}")
+    return mapped
+
+
+def _tf_name_for(path: Tuple[str, ...], img_resolution: int):
+    """Our Discriminator param path -> (TF variable name, transpose?).
+
+    Mirrors the reference pattern table (`legacy.py:266-285`), inverted to
+    walk our tree; conv weights keep TF's HWIO layout."""
+    mod, leaf = path[:-1], path[-1]
+    m0 = mod[0]
+    if m0.startswith("b") and m0 != "b4":
+        r = int(m0[1:])
+        sub = mod[1]
+        if sub == "fromrgb":
+            return f"{r}x{r}/FromRGB/{leaf}", False
+        if sub in ("conv0", "conv1"):
+            i = int(sub[-1])
+            return f"{r}x{r}/Conv{i}{['', '_down'][i]}/{leaf}", False
+        if sub == "skip":
+            return f"{r}x{r}/Skip/{leaf}", False
+    if m0 == "b4":
+        sub = mod[1]
+        if sub == "fromrgb":
+            return f"4x4/FromRGB/{leaf}", False
+        if sub == "conv":
+            return f"4x4/Conv/{leaf}", False
+        if sub == "fc":
+            return f"4x4/Dense0/{leaf}", leaf == "weight"
+        if sub == "out":
+            return f"Output/{leaf}", leaf == "weight"
+    if m0 == "mapping":
+        sub = mod[1]
+        if sub == "embed":
+            return f"LabelEmbed/{leaf}", leaf == "weight"
+        if sub.startswith("fc"):
+            return f"Mapping{sub[2:]}/{leaf}", leaf == "weight"
+    raise KeyError(f"no TF mapping for our param path {path}")
+
+
+def convert_tf_discriminator(tf_D: TFNetworkStub, variables) -> dict:
+    """Fill OUR Discriminator `variables` from a TF stub.  Returns a new
+    variables dict; raises on missing or shape-incompatible tensors."""
+    import jax
+
+    kwargs = discriminator_kwargs_from_tf(tf_D)
+    tf_params = collect_tf_params(tf_D)
+    # progressive-growing exports name the top FromRGB by lod (`legacy.py:256-261`)
+    import re
+
+    for name, value in list(tf_params.items()):
+        match = re.fullmatch(r"FromRGB_lod(\d+)/(.*)", name)
+        if match:
+            r = kwargs["img_resolution"] // (2 ** int(match.group(1)))
+            tf_params[f"{r}x{r}/FromRGB/{match.group(2)}"] = value
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    treedef = jax.tree_util.tree_structure(variables)
+    new_leaves = []
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        assert path[0] == "params", path
+        tf_name, transpose = _tf_name_for(path[1:], kwargs["img_resolution"])
+        if tf_name not in tf_params:
+            raise KeyError(f"TF pickle is missing {tf_name} (for {path})")
+        value = np.asarray(tf_params[tf_name], np.float32)
+        if transpose:
+            value = value.T
+        if value.shape != leaf.shape:
+            raise ValueError(
+                f"{tf_name}: TF shape {value.shape} != ours {leaf.shape} at {path}"
+            )
+        new_leaves.append(value.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def convert_tf_generator(tf_G: TFNetworkStub):
+    raise NotImplementedError(
+        "TF-legacy pickles hold the STOCK StyleGAN2 generator (const-input "
+        "synthesis, `legacy.py:116-204`); no PASTA-GAN family uses that "
+        "architecture, so there is no landing target in this zoo. Every "
+        "PASTA-GAN checkpoint is a torch pickle - use io.torch_import."
+    )

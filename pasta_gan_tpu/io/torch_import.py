@@ -35,6 +35,22 @@ def state_dict_from_reference_pickle(path: str) -> Dict[str, np.ndarray]:
 
     import torch
 
+    # legacy TF exports are a different format entirely (reference
+    # legacy.py:23-28) — detect and route to io/tf_legacy
+    with open(path, "rb") as f:
+        from .tf_legacy import load_tf_network_stubs
+
+        try:
+            stubs = load_tf_network_stubs(f)
+        except Exception:
+            stubs = None
+    if stubs is not None:
+        raise ValueError(
+            f"{path} is a legacy TensorFlow StyleGAN2 pickle; use "
+            "io.tf_legacy.convert_tf_discriminator (the stock TF generator "
+            "has no PASTA-GAN counterpart — see io/tf_legacy.py)"
+        )
+
     with open(path, "rb") as f:
         data = pickle.load(f)  # needs the reference's persistence import hooks
     g = data["G_ema"] if isinstance(data, dict) else data

@@ -470,8 +470,8 @@ class SynthesisNetworkFull(nn.Module):
         valid denorm features (reference `networks.py:5777-5800`).  NHWC.
 
         All statistics are per-sample, so the upper and lower branches may be
-        run separately or batch-stacked; separate calls are faster on TPU
-        (see the batch-emitter note at the call site).
+        run separately or batch-stacked; batch-stacking measures faster on
+        TPU (see the measurement note at the call site).
         """
         spade_encoder = self.spade_encoder  # bound submodule (see setup)
         mask = (mask > 0.9).astype(denorm_input.dtype)
@@ -605,9 +605,10 @@ class SynthesisNetworkFull(nn.Module):
             lower_mask = (parsing_idx == 2).astype(jnp.float32)
 
         # one spade_encoder pass over both branches (batch-stacked).
-        # (Measured: separate batch-N passes are NET slower — 245.6 vs 262.3
-        # imgs/s — despite the 2N conv hitting a worse XLA batch emitter; the
-        # doubled reduction/elementwise fusions cost more than it saves.)
+        # (Measured twice — round 2: 245.6 vs 262.3 imgs/s, round 3 after the
+        # routing rework: 342.9 vs 350.3 forward — separate batch-N passes
+        # stay NET slower despite the 2N conv hitting a worse XLA batch
+        # emitter; the doubled reduction/elementwise fusions cost more.)
         N = denorm_upper_input.shape[0]
         spade_both = self.get_spade_feat(
             jnp.concatenate([upper_mask, lower_mask], axis=0),

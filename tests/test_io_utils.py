@@ -93,6 +93,78 @@ def test_easydict_and_logger(tmp_path, capsys):
     assert "tee-check" in open(log_file).read()
 
 
+def test_open_url_downloader(tmp_path):
+    """open_url's full download logic (dnnlib/util.py:382-477) with an
+    injected fetch: retries, Content-Disposition naming, atomic md5 cache,
+    cache hits, Google-Drive nag redirect and quota error."""
+    import hashlib
+    import io
+
+    from pasta_gan_tpu.utils import open_url
+
+    cache = str(tmp_path / "cache")
+    url = "https://example.com/weights.pkl"
+    md5 = hashlib.md5(url.encode()).hexdigest()
+
+    # (1) retries then success + cache write with the content-disposition name
+    calls = {"n": 0}
+
+    def flaky(u):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return b"PAYLOAD" * 2000, {"Content-Disposition": 'attachment; filename="net.pkl"'}
+
+    f = open_url(url, cache_dir=cache, _fetch=flaky)
+    assert f.read(7) == b"PAYLOAD" and calls["n"] == 3
+    cached = os.listdir(cache)
+    assert cached == [md5 + "_net.pkl"], cached
+
+    # (2) cache hit: no fetch at all
+    def boom(u):
+        raise AssertionError("fetch must not be called on a cache hit")
+
+    with open_url(url, cache_dir=cache, _fetch=boom) as f2:
+        assert f2.read(7) == b"PAYLOAD"
+    assert open_url(url, cache_dir=cache, _fetch=boom, return_filename=True).endswith(
+        "_net.pkl"
+    )
+
+    # (3) exhausted retries raise
+    with pytest.raises(IOError):
+        open_url("https://example.com/other", cache_dir=cache, num_attempts=2,
+                 _fetch=lambda u: (_ for _ in ()).throw(IOError("down")))
+
+    # (4) Google Drive virus-check nag: follow the embedded export link
+    nag_url = "https://drive.google.com/uc?id=abc"
+    real = b"REALDATA" * 1500
+
+    def gdrive(u):
+        if "export=download" not in u:
+            return (
+                b'<a href="/uc?export=download&confirm=t&id=abc">download</a>',
+                {"Set-Cookie": "download_warning_x=1"},
+            )
+        return real, {}
+
+    out = open_url(nag_url, cache_dir=cache, cache=False, _fetch=gdrive)
+    assert out.read() == real
+
+    # (5) quota page raises with the reference's message
+    def quota(u):
+        return b"Google Drive - Quota exceeded", {}
+
+    with pytest.raises(IOError, match="quota exceeded"):
+        open_url("https://drive.google.com/uc?id=xyz", cache_dir=cache,
+                 num_attempts=1, cache=False, _fetch=quota)
+
+    # (6) local paths and file:// URLs bypass the downloader
+    p = tmp_path / "local.bin"
+    p.write_bytes(b"xyz")
+    assert open_url(str(p)).read() == b"xyz"
+    assert open_url("file://" + str(p)).read() == b"xyz"
+
+
 def test_spacetodepth_matches_torch_unfold():
     import torch
 

@@ -1,0 +1,173 @@
+"""Legacy TF StyleGAN2 pickle conversion (io/tf_legacy.py vs reference
+legacy.py:20-28,64-110,207-287): restricted unpickling to a data stub (no
+code execution), variable-tree flattening, the TF->our name map pinned
+against the reference pattern table, layout transposes, and error paths."""
+
+import io
+import pickle
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pasta_gan_tpu.io.tf_legacy import (
+    TFNetworkStub,
+    collect_tf_params,
+    convert_tf_discriminator,
+    convert_tf_generator,
+    discriminator_kwargs_from_tf,
+    load_tf_network_stubs,
+    _tf_name_for,
+)
+from pasta_gan_tpu.nn.discriminator import Discriminator
+
+
+def _fake_tf_pickle(payload):
+    """Pickle `payload` with objects claiming dnnlib.tflib.network.Network."""
+    mod = types.ModuleType("dnnlib.tflib.network")
+
+    class Network:
+        def __init__(self, state):
+            self._state = state
+
+        def __reduce__(self):
+            return (_reconstruct, (self._state,))
+
+    def _reconstruct(state):  # pragma: no cover - replaced by the stub
+        n = Network(state)
+        return n
+
+    # the standard pickle path: instantiate via class lookup + __setstate__
+    class NetworkPickled:
+        pass
+
+    NetworkPickled.__module__ = "dnnlib.tflib.network"
+    NetworkPickled.__qualname__ = NetworkPickled.__name__ = "Network"
+    mod.Network = NetworkPickled
+    sys.modules["dnnlib"] = types.ModuleType("dnnlib")
+    sys.modules["dnnlib.tflib"] = types.ModuleType("dnnlib.tflib")
+    sys.modules["dnnlib.tflib.network"] = mod
+    objs = []
+    for state in payload:
+        o = NetworkPickled()
+        o.__dict__.update(state)
+        objs.append(o)
+    return pickle.dumps(tuple(objs))
+
+
+def _tiny_disc():
+    return Discriminator(
+        c_dim=8, img_resolution=32, img_channels=3,
+        channel_base=1024, channel_max=64, mbstd_group_size=2,
+    )
+
+
+def _our_variables():
+    disc = _tiny_disc()
+    v = disc.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 8))
+    )
+    return disc, v
+
+
+def test_name_map_matches_reference_patterns():
+    """Pin the generated TF names for the tiny config to the reference's
+    pattern table (legacy.py:266-285)."""
+    _, v = _our_variables()
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    names = set()
+    for keypath, _ in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        names.add(_tf_name_for(path[1:], 32)[0])
+    for expected in [
+        "32x32/FromRGB/weight", "32x32/FromRGB/bias",
+        "32x32/Conv0/weight", "32x32/Conv1_down/weight", "32x32/Skip/weight",
+        "16x16/Conv0/weight", "8x8/Conv1_down/bias",
+        "4x4/Conv/weight", "4x4/Dense0/weight", "Output/weight",
+        "LabelEmbed/weight", "Mapping0/weight",
+    ]:
+        assert expected in names, (expected, sorted(names))
+
+
+def test_convert_tf_discriminator_roundtrip():
+    disc, v = _our_variables()
+    rng = np.random.default_rng(0)
+
+    # build the TF variable list from the inverse name map with TF layouts
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    tf_vars = {}
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        name, transpose = _tf_name_for(path[1:], 32)
+        shape = tuple(np.asarray(leaf).shape)
+        if transpose:
+            shape = shape[::-1]
+        tf_vars[name] = rng.normal(0, 1, shape).astype(np.float32)
+
+    stub = TFNetworkStub(
+        version=4,
+        static_kwargs=dict(label_size=8, resolution=32, num_channels=3,
+                           fmap_base=512, fmap_max=64, mbstd_group_size=2),
+        variables=list(tf_vars.items()),
+        components={},
+    )
+    out = convert_tf_discriminator(stub, v)
+
+    # conv weights land in HWIO untransposed; dense weights transposed
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["b32"]["conv0"]["weight"]),
+        tf_vars["32x32/Conv0/weight"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["b4"]["fc"]["weight"]),
+        tf_vars["4x4/Dense0/weight"].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["mapping"]["embed"]["weight"]),
+        tf_vars["LabelEmbed/weight"].T,
+    )
+    # the converted tree still drives our discriminator
+    logits = disc.apply(out, jnp.ones((2, 32, 32, 3)), jnp.ones((2, 8)))
+    assert logits.shape == (2, 1) and bool(jnp.all(jnp.isfinite(logits)))
+
+    # kwargs extraction mirrors legacy.py:211-247
+    kw = discriminator_kwargs_from_tf(stub)
+    assert kw["c_dim"] == 8 and kw["channel_base"] == 1024
+
+    # unknown TF kwargs and old versions are rejected like the reference
+    bad = TFNetworkStub(version=4, static_kwargs=dict(bogus=1), variables=[],
+                        components={})
+    with pytest.raises(ValueError, match="Unknown TensorFlow kwarg"):
+        discriminator_kwargs_from_tf(bad)
+    old = TFNetworkStub(version=3, static_kwargs={}, variables=[], components={})
+    with pytest.raises(ValueError, match="version too low"):
+        discriminator_kwargs_from_tf(old)
+
+
+def test_legacy_unpickler_and_components():
+    data = _fake_tf_pickle([
+        dict(version=4, static_kwargs={}, variables=[("w", np.ones((2, 2)))],
+             components={}),
+        dict(version=4, static_kwargs={}, variables=[],
+             components=dict(sub=TFNetworkStub(
+                 variables=[("v", np.zeros(3))], components={}))),
+        dict(version=4, static_kwargs={}, variables=[], components={}),
+    ])
+    stubs = load_tf_network_stubs(io.BytesIO(data))
+    assert stubs is not None and len(stubs) == 3
+    assert all(isinstance(s, TFNetworkStub) for s in stubs)
+    p = collect_tf_params(stubs[0])
+    assert set(p) == {"w"}
+    p2 = collect_tf_params(stubs[1])
+    assert set(p2) == {"sub/v"} and p2["sub/v"].shape == (3,)
+
+    # non-TF payloads pass through as "not legacy"
+    assert load_tf_network_stubs(io.BytesIO(pickle.dumps({"G": 1}))) is None
+
+    # the generator conversion points to the torch path
+    with pytest.raises(NotImplementedError, match="torch_import"):
+        convert_tf_generator(stubs[0])
