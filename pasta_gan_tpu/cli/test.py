@@ -90,6 +90,10 @@ def main(argv=None):
     )
     p.add_argument("--calib_batches", type=int, default=2,
                    help="batches used to calibrate int8_static scales")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel serving over ALL local devices "
+                   "(jax.sharding mesh; --batchsize must divide by the "
+                   "device count — the global batch is split across chips)")
     args = p.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -128,8 +132,7 @@ def main(argv=None):
     gen = ctor(quant=args.quant)
     w_avg = jnp.asarray(w_avg)
 
-    @jax.jit
-    def forward(variables, batch):
+    def forward_impl(variables, batch):
         """Mirrors test.py:118-128: explicit style/const/mapping/synthesis calls."""
         stylecode, feats = gen.apply(
             variables, batch["style_input"], batch["retain"], method=gen.encode_style
@@ -153,6 +156,33 @@ def main(argv=None):
             noise_mode="none",
         )
         return out[1]  # finetune image (both interfaces)
+
+    if args.dp:
+        # data-parallel serving: one mesh over every local device; variables
+        # replicate, the global batch splits on the data axis.  shard_map
+        # (not bare jit sharding) so the routing Pallas kernels run
+        # per-device blocks instead of relying on the SPMD partitioner to
+        # split custom calls.
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.mesh import DATA_AXIS, data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        n_dev = len(mesh.devices.ravel())
+        if args.batchsize % n_dev:
+            raise SystemExit(
+                f"--dp: --batchsize {args.batchsize} must divide by the "
+                f"{n_dev} local devices"
+            )
+        forward = jax.jit(
+            jax.shard_map(
+                forward_impl, mesh=mesh,
+                in_specs=(PS(), PS(DATA_AXIS)), out_specs=PS(DATA_AXIS),
+                check_vma=False,
+            )
+        )
+    else:
+        forward = jax.jit(forward_impl)
 
     if args.synthetic:
         ds = SyntheticUvitonDataset(num_samples=args.synthetic)
@@ -178,12 +208,24 @@ def main(argv=None):
         variables = calibrate_int8_static(
             ctor, variables, w_avg, args.truncation_psi, calib_batches)
         print(f"calibrated int8 activation scales on {len(calib_batches)} batches")
+    if args.dp:
+        from ..parallel.mesh import replicate, shard_batch
+
+        variables = replicate(variables, mesh)
     n_written = 0
     for i in range(0, len(pairs), B):
         chunk = pairs[i : i + B]
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
         batch = prepare(person, garment)
+        if args.dp:
+            if len(chunk) < B:  # pad the ragged tail to the full global batch
+                pad = B - len(chunk)
+                batch = {
+                    k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
+                    for k, v in batch.items()
+                }
+            batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
         out = np.asarray(jax.device_get(forward(variables, batch)), np.float32)
         for j, (_, _, pname, gname) in enumerate(chunk):
             # un-pad 256x256 -> 256x192 (test.py:130-150 crop [:, 32:224])

@@ -133,6 +133,20 @@ def test_cli_test_and_512_smoke(tmp_path):
                    "--calib_batches", "1"])
     assert sorted(os.listdir(out_q)) == sorted(os.listdir(out))
 
+    # data-parallel serving over the 8 virtual devices (ragged tail padded
+    # to the global batch); per-image outputs must match the single-device
+    # run bit-for-near (conv reduction orders differ across shardings)
+    out_dp = str(tmp_path / "out_test_dp")
+    cli_test.main(["--network", snap, "--synthetic", "2", "--outdir", out_dp,
+                   "--batchsize", "8", "--dp"])
+    assert sorted(os.listdir(out_dp)) == sorted(os.listdir(out))
+    import PIL.Image
+
+    for f in os.listdir(out):
+        a = np.asarray(PIL.Image.open(os.path.join(out, f)), np.float32)
+        b = np.asarray(PIL.Image.open(os.path.join(out_dp, f)), np.float32)
+        assert np.mean(np.abs(a - b)) < 1.5, f  # uint8 LSB-level agreement
+
     # --- Generator512 snapshot for cli.test_512 (at reduced resolution)
     g512 = Generator512(img_resolution=256, channel_base=2048, channel_max=64,
                         mapping_layers=1, style_input_nc=45)
