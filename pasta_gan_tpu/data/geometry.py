@@ -169,6 +169,40 @@ def part_quads(
     return quads, valid
 
 
+def _solve8(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 8x8 linear solve as unrolled Gauss-Jordan with partial
+    pivoting — pure vector ops, no LAPACK custom call.
+
+    jnp.linalg.solve lowers each tiny DLT system to LU/triangular-solve
+    custom calls whose fixed dispatch cost dominated the routing program
+    (~2 ms/batch-16, BASELINE.md round 3); the unrolled elimination fuses
+    into one VPU pass.  A: [..., 8, 8], b: [..., 8] -> x [..., 8]."""
+    Ab = jnp.concatenate([A, b[..., None]], axis=-1)  # [..., 8, 9]
+    rows = jnp.arange(8)
+    for k in range(8):
+        # partial pivot among rows >= k (one-hot algebra; no gathers)
+        col = jnp.abs(Ab[..., :, k])
+        piv = jnp.argmax(jnp.where(rows >= k, col, -1.0), axis=-1)  # [...]
+        is_piv = jax.nn.one_hot(piv, 8, dtype=Ab.dtype)  # [..., 8]
+        is_k = (rows == k).astype(Ab.dtype)  # [8]
+        pivot_row = jnp.einsum("...r,...rc->...c", is_piv, Ab)  # [..., 9]
+        row_k = Ab[..., k, :]  # [..., 9]
+        # swap rows k <-> piv
+        Ab = (
+            Ab
+            + is_k[:, None] * (pivot_row[..., None, :] - Ab[..., k : k + 1, :])
+            + is_piv[..., :, None] * (row_k[..., None, :] - pivot_row[..., None, :])
+        )
+        pv = Ab[..., k, k]
+        pv = jnp.where(jnp.abs(pv) < 1e-12, 1e-12, pv)
+        norm_row = Ab[..., k, :] / pv[..., None]  # [..., 9]
+        # eliminate column k from every other row, set row k to normalized
+        factors = Ab[..., :, k] * (1.0 - is_k)
+        Ab = Ab - factors[..., :, None] * norm_row[..., None, :]
+        Ab = jnp.where((rows == k)[:, None], norm_row[..., None, :], Ab)
+    return Ab[..., :, 8]
+
+
 def perspective_transform(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Batched cv2.getPerspectiveTransform: solve for M with M@[sx,sy,1] ~ [dx,dy].
 
@@ -184,9 +218,8 @@ def perspective_transform(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     rx = jnp.stack([x, y, ones, zeros, zeros, zeros, -X * x, -X * y], axis=-1)
     ry = jnp.stack([zeros, zeros, zeros, x, y, ones, -Y * x, -Y * y], axis=-1)
     A = jnp.concatenate([rx, ry], axis=-2)  # [..., 8, 8]
-    rhs = jnp.concatenate([X, Y], axis=-1)[..., None]  # [..., 8, 1]
-    sol = jnp.linalg.solve(A.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), rhs)
-    m = sol[..., 0]  # [..., 8]
+    rhs = jnp.concatenate([X, Y], axis=-1)  # [..., 8]
+    m = _solve8(A, rhs)  # [..., 8]
     M = jnp.concatenate([m, jnp.ones_like(m[..., :1])], axis=-1)
     return M.reshape(M.shape[:-1] + (3, 3))
 
