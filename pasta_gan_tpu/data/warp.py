@@ -46,9 +46,11 @@ def denorm_warp_parts(
     if _on_tpu():
         from ..ops.pallas_warp import warp_parts_pallas
 
-        # bound the kernel's [C*Hs, P] half-contraction to ~4 MB of VMEM
+        # 8 dst rows/tile: finer tiles skip more of each part's support
+        # (measured ~1.7x vs 16 on realistic denorm quads) while the
+        # [C*Hs, P] half-contraction stays well inside VMEM
         C, Hs = src.shape[-1], src.shape[1]
-        rows = max(1, min(16, (1 << 20) // (C * Hs * out_hw[1])))
+        rows = max(1, min(8, (1 << 20) // (C * Hs * out_hw[1])))
         while out_hw[0] % rows:
             rows -= 1
 
