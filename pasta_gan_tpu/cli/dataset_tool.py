@@ -271,7 +271,10 @@ def main(argv=None):
     c = sub.add_parser("convert", help="pack an image folder/zip/lmdb/cifar/mnist source")
     c.add_argument("--source", required=True)
     c.add_argument("--dest", required=True)
-    c.add_argument("--resolution", type=int, default=None, help="square scale shorthand")
+    c.add_argument("--resolution", type=int, default=None,
+                   help="square output size: center-crop then resize "
+                   "(the reference tool's historical behavior; pass "
+                   "--transform to pick another)")
     c.add_argument("--max-images", type=int, default=None)
     c.add_argument("--labels", default=None)
     c.add_argument("--transform", choices=["center-crop", "center-crop-wide"], default=None)

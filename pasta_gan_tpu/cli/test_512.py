@@ -103,6 +103,7 @@ def main(argv=None):
     B = args.batchsize
 
     def make_batch(chunk):
+        """Returns (garment_collated, routed_batch)."""
         person = collate([c[0] for c in chunk])
         garment = collate([c[1] for c in chunk])
         # pad_x = square-padding x offset: 96 for 512x320, 32 for the 256 fixture
@@ -122,7 +123,7 @@ def main(argv=None):
                 )
                 for k, v in batch.items()
             }
-        return person, batch
+        return garment, batch
 
     variables = g_ema_params
     if args.quant == "int8_static":
@@ -135,8 +136,7 @@ def main(argv=None):
     n_written = 0
     for i in range(0, len(pairs), B):
         chunk = pairs[i : i + B]
-        _, batch = make_batch(chunk)
-        garment = collate([c[1] for c in chunk])
+        garment, batch = make_batch(chunk)
         out = np.asarray(jax.device_get(forward(variables, batch)), np.float32)
         g_img = np.asarray(garment["image"], np.float32) / 127.5 - 1.0
         p_img = np.asarray(jax.device_get(batch["person_img"]), np.float32)

@@ -288,10 +288,17 @@ class HostRoutingPipeline:
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                try:
-                    self._q.put(_SENTINEL, timeout=10.0)
-                except queue.Full:
-                    pass
+                # The sentinel must NEVER be dropped: the consumer's get()
+                # blocks indefinitely, so losing it (e.g. a full queue while
+                # the consumer stalls in a multi-minute first-step compile)
+                # would hang training forever.  Retry until delivered or the
+                # pipeline is closed (close() drains via the stop flag).
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()

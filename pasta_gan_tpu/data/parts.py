@@ -189,10 +189,27 @@ class PartsFolderDataset:
             item.update(head_img=head, top_img=top, pant_img=pant, palm_img=palm)
 
         if self.resolution is not None and padded.shape[0] != self.resolution:
-            pil = PIL.Image.fromarray(padded.astype(np.uint8))
-            padded = np.asarray(
-                pil.resize((self.resolution, self.resolution), PIL.Image.LANCZOS),
-                np.float32,
-            )
+            # the whole conditional stack must land at one size — resizing
+            # only the image would leave part images / heatmaps at the
+            # padded native size and break batching
+            def _resize(a: np.ndarray) -> np.ndarray:
+                pil = PIL.Image.fromarray(np.asarray(a, np.uint8))
+                return np.asarray(
+                    pil.resize((self.resolution, self.resolution), PIL.Image.LANCZOS),
+                    np.float32,
+                )
+
+            S = padded.shape[0]
+            padded = _resize(padded)
+            for k in ("head_img", "top_img", "pant_img", "palm_img"):
+                if k in item:
+                    item[k] = _resize(item[k]).astype(np.asarray(item[k]).dtype)
+            if "pose_heatmap" in item:
+                # binary discs: nearest-neighbor subsample (both dims square)
+                idx = np.clip(
+                    (np.arange(self.resolution) * S / self.resolution).astype(np.int64),
+                    0, S - 1,
+                )
+                item["pose_heatmap"] = item["pose_heatmap"][idx][:, idx]
         item["image"] = padded.astype(np.uint8)
         return item

@@ -45,17 +45,48 @@ class TFNetworkStub(dict):
             raise AttributeError(name) from e
 
 
+# Globals a legacy TF StyleGAN2 pickle legitimately references: the Network
+# class, numpy array reconstruction, and basic containers.  Anything else
+# (torch tensor rebuilds, arbitrary callables) raises — this keeps the
+# "no code execution" guarantee real, and makes the TF-format detection in
+# io/torch_import.py abort early on torch pickles instead of deserializing
+# them twice.
+_SAFE_GLOBALS = {
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("collections", "OrderedDict"),
+    ("builtins", "set"),
+    ("builtins", "frozenset"),
+    # our own stub (round-trips through re-pickled conversions/tests)
+    ("pasta_gan_tpu.io.tf_legacy", "TFNetworkStub"),
+}
+
+
 class _LegacyUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if module == "dnnlib.tflib.network" and name == "Network":
             return TFNetworkStub
-        return super().find_class(module, name)
+        if (module, name) in _SAFE_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"{module}.{name} is not allowed in a legacy TF pickle "
+            "(only numpy arrays and plain containers are)"
+        )
 
 
 def load_tf_network_stubs(f):
     """Unpickle a legacy TF pickle; returns (G, D, Gs) stubs or None if the
-    payload is not a legacy TF 3-tuple (reference `legacy.py:23-24`)."""
-    data = _LegacyUnpickler(f).load()
+    payload is not a legacy TF 3-tuple (reference `legacy.py:23-24`).
+    Non-TF payloads referencing disallowed globals (e.g. torch pickles)
+    also return None — the restricted unpickler aborts them early."""
+    try:
+        data = _LegacyUnpickler(f).load()
+    except (pickle.UnpicklingError, AttributeError, ImportError):
+        return None
     if (
         isinstance(data, tuple)
         and len(data) == 3

@@ -425,7 +425,9 @@ def warp_frame_to_parts_pallas_batched(
     return jnp.transpose(out.reshape(B, N, C, h, w), (0, 1, 3, 4, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "border", "rows_per_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "border", "rows_per_tile", "interpret")
+)
 def warp_parts_pallas(
     src: jnp.ndarray,  # [N, Hs, Ws, C] float source patches
     M_fwd: jnp.ndarray,  # [N, 3, 3] patch->dst (cv2 warpPerspective convention)
@@ -433,6 +435,7 @@ def warp_parts_pallas(
     border: str = "constant",
     valid: jnp.ndarray | None = None,  # [N] bool; invalid -> all-zero output
     rows_per_tile: int = 16,
+    interpret: bool = False,  # run the kernel in interpret mode (CPU CI)
 ) -> jnp.ndarray:
     """Batched perspective warp, NHWC in -> NHWC out, matching
     vmap(warp_perspective)(src, M_fwd) with constant/replicate borders.
@@ -454,9 +457,15 @@ def warp_parts_pallas(
         valid_b = jnp.ones((N,), bool)
     else:
         valid_b = valid.astype(bool)
-    flags = _support_row_flags_v(
-        M_fwd.astype(jnp.float32), valid_b, Hs, Ws, H, n_tiles, rows_per_tile
-    )
+    if border == "replicate":
+        # replicate clamps samples into range, so EVERY dst pixel has valid
+        # content — support-quad skipping only applies to the constant-zero
+        # border (outside the quad all hat weights vanish)
+        flags = jnp.broadcast_to(valid_b.astype(jnp.int32)[:, None], (N, n_tiles))
+    else:
+        flags = _support_row_flags_v(
+            M_fwd.astype(jnp.float32), valid_b, Hs, Ws, H, n_tiles, rows_per_tile
+        )
     # keep the tiny per-part setup (inverse, corner projection) out of the
     # kernel's consumers — XLA otherwise re-evaluates it per fusion tile
     minv9, flags = jax.lax.optimization_barrier((minv9, flags))
@@ -480,5 +489,6 @@ def warp_parts_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C, H * W), jnp.float32),
+        interpret=interpret,
     )(minv9, flags, srcA)
     return jnp.transpose(out.reshape(N, C, H, W), (0, 2, 3, 1))

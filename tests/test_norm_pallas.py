@@ -65,6 +65,27 @@ def test_norm_kernel_degenerate_and_valid():
                                atol=1e-6)
 
 
+def test_denorm_kernel_replicate_border_no_skipping():
+    """warp_parts_pallas with border="replicate" must NOT apply support-quad
+    skipping — every dst pixel has clamped-sample content (regression: tiles
+    outside the quad were zeroed)."""
+    from pasta_gan_tpu.ops.pallas_warp import warp_parts_pallas
+    from pasta_gan_tpu.data.warp import warp_perspective
+
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.uniform(0.2, 1, (2, 16, 16, 4)), jnp.float32)
+    # small patch mapped into a corner of a much larger dst: most dst tiles
+    # are outside the support quad but must hold replicate-clamped content
+    M = jnp.asarray(np.stack([np.diag([1.0, 1.0, 1.0]),
+                              np.diag([0.5, 0.5, 1.0])]), jnp.float32)
+    out = warp_parts_pallas(src, M, (64, 64), "replicate", rows_per_tile=8,
+                            interpret=True)
+    ref = jnp.stack([warp_perspective(src[i], M[i], (64, 64), "replicate")
+                     for i in range(2)])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+    assert float(jnp.min(jnp.abs(out))) > 0.0  # no zeroed tiles
+
+
 def test_norm_kernel_saturation_fidelity():
     """Binary-mask channels must interpolate identically across paths (the
     ==255 saturation margin in data/warp.py is 0.5/255)."""

@@ -166,6 +166,11 @@ def test_parts_folder_dataset(tmp_path):
     for k in ("head_img", "top_img", "pant_img", "palm_img"):
         assert item[k].shape == (S, S, 3)
     assert item["head_img"].sum() > 0 and item["top_img"].sum() > 0
-    # resolution resize path
+    # resolution resize path: the WHOLE conditional stack lands at one size
     ds64 = PartsFolderDataset(str(tmp_path), resolution=64)
-    assert ds64[0]["image"].shape == (64, 64, 3)
+    item64 = ds64[0]
+    assert item64["image"].shape == (64, 64, 3)
+    assert item64["pose_heatmap"].shape == (64, 64, 18)
+    for k in ("head_img", "top_img", "pant_img", "palm_img"):
+        assert item64[k].shape == (64, 64, 3), (k, item64[k].shape)
+    assert item64["head_img"].sum() > 0  # content survives the resize

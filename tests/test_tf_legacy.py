@@ -168,6 +168,20 @@ def test_legacy_unpickler_and_components():
     # non-TF payloads pass through as "not legacy"
     assert load_tf_network_stubs(io.BytesIO(pickle.dumps({"G": 1}))) is None
 
+    # the unpickler is restricted: a payload smuggling a callable global
+    # (the classic pickle RCE) must be rejected, not executed
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.getenv, ("HOME",))
+
+    assert load_tf_network_stubs(io.BytesIO(pickle.dumps(Evil()))) is None
+    with pytest.raises(pickle.UnpicklingError, match="not allowed"):
+        from pasta_gan_tpu.io.tf_legacy import _LegacyUnpickler
+
+        _LegacyUnpickler(io.BytesIO(pickle.dumps(Evil()))).load()
+
     # the generator conversion points to the torch path
     with pytest.raises(NotImplementedError, match="torch_import"):
         convert_tf_generator(stubs[0])
