@@ -39,6 +39,9 @@ def main(argv=None):
         "activation scales on the first --calib_batches batches",
     )
     p.add_argument("--calib_batches", type=int, default=2)
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel serving over ALL local devices "
+                   "(--batchsize must divide by the device count)")
     args = p.parse_args(argv)
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -67,8 +70,7 @@ def main(argv=None):
     gen = ctor(quant=args.quant)
     w_avg = jnp.asarray(w_avg)
 
-    @jax.jit
-    def forward(variables, batch):
+    def forward_impl(variables, batch):
         stylecode, feats = gen.apply(
             variables, batch["style_input"], batch["retain"], method=gen.encode_style
         )
@@ -84,6 +86,30 @@ def main(argv=None):
             method=gen.synthesize, noise_mode="none",
         )
         return finetune_img
+
+    if args.dp:
+        # data-parallel serving (see cli/test.py: shard_map so the routing
+        # Pallas kernels run per-device blocks)
+        from jax.sharding import PartitionSpec as PS
+
+        from ..parallel.mesh import DATA_AXIS, data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        n_dev = len(mesh.devices.ravel())
+        if args.batchsize % n_dev:
+            raise SystemExit(
+                f"--dp: --batchsize {args.batchsize} must divide by the "
+                f"{n_dev} local devices"
+            )
+        forward = jax.jit(
+            jax.shard_map(
+                forward_impl, mesh=mesh,
+                in_specs=(PS(), PS(DATA_AXIS)), out_specs=PS(DATA_AXIS),
+                check_vma=False,
+            )
+        )
+    else:
+        forward = jax.jit(forward_impl)
 
     if args.synthetic:
         ds = SyntheticUvitonDataset(num_samples=args.synthetic, resolution=res)
@@ -133,10 +159,22 @@ def main(argv=None):
             ctor, variables, w_avg, args.truncation_psi, calib)
         print(f"calibrated int8 activation scales on {len(calib)} batches")
 
+    if args.dp:
+        from ..parallel.mesh import replicate, shard_batch
+
+        variables = replicate(variables, mesh)
     n_written = 0
     for i in range(0, len(pairs), B):
         chunk = pairs[i : i + B]
         garment, batch = make_batch(chunk)
+        if args.dp:
+            if len(chunk) < B:  # pad the ragged tail to the full global batch
+                pad = B - len(chunk)
+                batch = {
+                    k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, axis=0)])
+                    for k, v in batch.items()
+                }
+            batch = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
         out = np.asarray(jax.device_get(forward(variables, batch)), np.float32)
         g_img = np.asarray(garment["image"], np.float32) / 127.5 - 1.0
         p_img = np.asarray(jax.device_get(batch["person_img"]), np.float32)

@@ -168,3 +168,10 @@ def test_cli_test_and_512_smoke(tmp_path):
     cli_test_512.main(["--network", snap512, "--synthetic", "2", "--outdir", out512,
                        "--batchsize", "2", "--change_region", "lowerbody"])
     assert len(os.listdir(out512)) == 2
+
+    # data-parallel 512 serving over the 8 virtual devices (padded tail)
+    out512_dp = str(tmp_path / "out_512_dp")
+    cli_test_512.main(["--network", snap512, "--synthetic", "2",
+                       "--outdir", out512_dp, "--batchsize", "8", "--dp",
+                       "--change_region", "lowerbody"])
+    assert sorted(os.listdir(out512_dp)) == sorted(os.listdir(out512))
