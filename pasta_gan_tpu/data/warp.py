@@ -39,10 +39,13 @@ def denorm_warp_parts(
     out_hw: tuple[int, int],
 ) -> jnp.ndarray:
     """All per-part denorm re-projections of one sample in one shot,
-    constant-zero border.  On TPU this is the fused Pallas hat-matmul kernel
-    (ops/pallas_warp.py — MXU contractions, per-tile support skipping); on
-    CPU/interpret backends (unit tests, the multichip CPU dryrun) it falls
-    back to the jnp matmul formulation.  Called under vmap over the batch."""
+    constant-zero border, returned PLANAR [P, C, H, W] (the Pallas kernel's
+    native layout — consumers composite planar and transpose only the final
+    3-channel images, saving the 1.4 ms/batch-16 NHWC relayout).  On TPU
+    this is the fused Pallas hat-matmul kernel (ops/pallas_warp.py — MXU
+    contractions, per-tile support skipping); on CPU/interpret backends
+    (unit tests, the multichip CPU dryrun) it falls back to the jnp matmul
+    formulation.  Called under vmap over the batch."""
     if _on_tpu():
         from ..ops.pallas_warp import warp_parts_pallas
 
@@ -60,7 +63,8 @@ def denorm_warp_parts(
         @jax.custom_batching.custom_vmap
         def _dn(src, M, valid):
             return warp_parts_pallas(
-                src, M, out_hw, "constant", valid=valid, rows_per_tile=rows
+                src, M, out_hw, "constant", valid=valid, rows_per_tile=rows,
+                planar=True,
             )
 
         @_dn.def_vmap
@@ -74,6 +78,7 @@ def denorm_warp_parts(
                 "constant",
                 valid=valid.reshape(B * N),
                 rows_per_tile=rows,
+                planar=True,
             )
             return out.reshape((B, N) + out.shape[1:]), True
 
@@ -81,7 +86,8 @@ def denorm_warp_parts(
     out = jax.vmap(
         lambda s, m: warp_perspective_matmul(s, m, out_hw, "constant")
     )(src, M)
-    return out * valid.astype(out.dtype)[:, None, None, None]
+    out = out * valid.astype(out.dtype)[:, None, None, None]
+    return jnp.transpose(out, (0, 3, 1, 2))  # planar [P, C, H, W]
 
 MASK_SATURATION_THRESHOLD = 254.5 / 255.0
 
@@ -396,27 +402,36 @@ def route_patches_single(
     )  # [10 + 4, h, w, 4]
     Ms = jnp.concatenate([M_inv, M_inv[L:]], axis=0)
     vs = jnp.concatenate([denorm_valid, denorm_valid[L:]], axis=0)
-    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # [14, H, W, 4]
-    sat_all = (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(upper_img.dtype)
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # PLANAR [14, 4, H, W]
+    # sat masks as [14, H, W, 1] — a plain slice of the planar layout (no
+    # relayout); compositing runs planar and only the final 3-channel images
+    # transpose back to NHWC.
+    sat_all = (dn_all[:, 3][..., None] >= MASK_SATURATION_THRESHOLD).astype(
+        upper_img.dtype
+    )
     if erode_upper:
         sat_all = jnp.concatenate(
             [erode_binary(sat_all[:L]), sat_all[L:]], axis=0
         )
+    sat_pl = sat_all[..., 0][:, None]  # [14, 1, H, W]
+    dmask_pl = dmask[..., 0]  # [10, 1, 1] -> broadcasts over [C, H, W]
 
-    denorm_upper = jnp.zeros_like(upper_img)
+    denorm_upper = jnp.zeros((3, H, W), upper_img.dtype)
     hand_masks_list = {}
     for p in range(NUM_PARTS):
-        valid_p = sat_all[p] * dmask[p]
-        denorm_upper = dn_all[p, ..., 0:3] * valid_p + denorm_upper * (1 - valid_p)
+        valid_p = sat_pl[p] * dmask_pl[p]  # [1, H, W]
+        denorm_upper = dn_all[p, 0:3] * valid_p + denorm_upper * (1 - valid_p)
         if p in HAND_PARTS:
-            hand_masks_list[p] = valid_p
+            hand_masks_list[p] = sat_all[p] * dmask[p]  # [H, W, 1]
 
-    denorm_lower = jnp.zeros_like(lower_img)
+    denorm_lower = jnp.zeros((3, H, W), lower_img.dtype)
     for i in range(NUM_PARTS - L):
-        valid_p = sat_all[NUM_PARTS + i] * dmask[L + i]
-        denorm_lower = dn_all[NUM_PARTS + i, ..., 0:3] * valid_p + denorm_lower * (
+        valid_p = sat_pl[NUM_PARTS + i] * dmask_pl[L + i]
+        denorm_lower = dn_all[NUM_PARTS + i, 0:3] * valid_p + denorm_lower * (
             1 - valid_p
         )
+    denorm_upper = jnp.transpose(denorm_upper, (1, 2, 0))
+    denorm_lower = jnp.transpose(denorm_lower, (1, 2, 0))
 
     hand_masks = jnp.stack([hand_masks_list[p] for p in HAND_PARTS], axis=0)  # [4,H,W,1]
 
@@ -549,19 +564,22 @@ def route_patches_v19_single(
     dn_valid_gate = valid_p.astype(g_upper_img.dtype)[:, None, None, None]
     dn_all = denorm_warp_parts(
         jnp.concatenate([part_imgs, part_masks], axis=-1), Mp_inv, valid_p, (H, W)
-    )  # [10, H, W, 4]
-    sat_all = (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(
+    )  # PLANAR [10, 4, H, W]
+    sat_all = (dn_all[:, 3][..., None] >= MASK_SATURATION_THRESHOLD).astype(
         g_upper_img.dtype
-    )
+    )  # [10, H, W, 1]
     sat_all = jnp.concatenate([erode_binary(sat_all[:L]), sat_all[L:]], axis=0)
     sat_all = sat_all * dn_valid_gate
+    sat_pl = sat_all[..., 0][:, None]  # [10, 1, H, W]
 
-    denorm_upper = jnp.zeros_like(g_upper_img)
+    denorm_upper = jnp.zeros((3, H, W), g_upper_img.dtype)
     for p in range(L):
-        denorm_upper = dn_all[p, ..., 0:3] * sat_all[p] + denorm_upper * (1 - sat_all[p])
-    denorm_lower = jnp.zeros_like(p_lower_img)
+        denorm_upper = dn_all[p, 0:3] * sat_pl[p] + denorm_upper * (1 - sat_pl[p])
+    denorm_lower = jnp.zeros((3, H, W), p_lower_img.dtype)
     for p in range(L, NUM_PARTS):
-        denorm_lower = dn_all[p, ..., 0:3] * sat_all[p] + denorm_lower * (1 - sat_all[p])
+        denorm_lower = dn_all[p, 0:3] * sat_pl[p] + denorm_lower * (1 - sat_pl[p])
+    denorm_upper = jnp.transpose(denorm_upper, (1, 2, 0))
+    denorm_lower = jnp.transpose(denorm_lower, (1, 2, 0))
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
@@ -678,19 +696,22 @@ def route_patches_512_single(
     srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [15, h, w, 4]
     Ms = jnp.concatenate([M_inv, M_inv[lp_idx]], axis=0)
     vs = jnp.concatenate([valid_inv, valid_inv[lp_idx]], axis=0)
-    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # [15, H, W, 4]
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # PLANAR [15, 4, H, W]
     sat_all = erode_binary(
-        (dn_all[..., 3:4] >= MASK_SATURATION_THRESHOLD).astype(dtype)
-    ) * vs.astype(dtype)[:, None, None, None]
+        (dn_all[:, 3][..., None] >= MASK_SATURATION_THRESHOLD).astype(dtype)
+    ) * vs.astype(dtype)[:, None, None, None]  # [15, H, W, 1]
+    sat_pl = sat_all[..., 0][:, None]  # [15, 1, H, W]
 
-    denorm_upper = jnp.zeros_like(upper_img)
+    denorm_upper = jnp.zeros((3, H, W), dtype)
     for p in range(NUM_PARTS):
-        denorm_upper = dn_all[p, ..., 0:3] * sat_all[p] + denorm_upper * (1 - sat_all[p])
+        denorm_upper = dn_all[p, 0:3] * sat_pl[p] + denorm_upper * (1 - sat_pl[p])
 
-    denorm_lower = jnp.zeros_like(lower_img)
+    denorm_lower = jnp.zeros((3, H, W), dtype)
     for i in range(len(LP)):
         q = NUM_PARTS + i
-        denorm_lower = dn_all[q, ..., 0:3] * sat_all[q] + denorm_lower * (1 - sat_all[q])
+        denorm_lower = dn_all[q, 0:3] * sat_pl[q] + denorm_lower * (1 - sat_pl[q])
+    denorm_upper = jnp.transpose(denorm_upper, (1, 2, 0))
+    denorm_lower = jnp.transpose(denorm_lower, (1, 2, 0))
 
     def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
         return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
