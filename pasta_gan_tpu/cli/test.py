@@ -34,31 +34,44 @@ def calibrate_int8_static(ctor, variables, w_avg, truncation_psi, batches):
     returning variables with the frozen "quant_scales" collection merged in."""
     from ..models import cat_feats_dict
 
+    if not batches:
+        raise SystemExit(
+            "--quant int8_static: no calibration batches could be built "
+            "(empty pairs list — check --dataroot / --synthetic)"
+        )
+
     gen_c = ctor(quant="int8_calib")
 
     @jax.jit
     def calib_step(variables, batch):
+        # Flax returns the FULL mutated collection each apply (fresh updates
+        # plus every untouched entry carried from the input), so the three
+        # sub-network applies must be CHAINED — a shallow merge of the three
+        # returned collections lets the last apply's stale carried copies of
+        # the encoder subtrees clobber the first two applies' fresh
+        # running-amax folds on every calibration batch after the first.
         (stylecode, feats), m1 = gen_c.apply(
             variables, batch["style_input"], batch["retain"],
             method=gen_c.encode_style, mutable=["quant_scales"],
         )
+        v1 = {**variables, **m1}
         pose_feat, m2 = gen_c.apply(
-            variables, batch["pose"], method=gen_c.encode_pose,
+            v1, batch["pose"], method=gen_c.encode_pose,
             mutable=["quant_scales"],
         )
+        v2 = {**variables, **m2}
         ws, _ = gen_c.apply(
             variables, None, stylecode,
             w_avg=w_avg, truncation_psi=truncation_psi, method=gen_c.map_ws,
         )
         _, m3 = gen_c.apply(
-            variables, ws, pose_feat, cat_feats_dict(feats),
+            v2, ws, pose_feat, cat_feats_dict(feats),
             batch["denorm_upper_img"], batch["denorm_lower_img"],
             batch["denorm_upper_mask"], batch["denorm_lower_mask"],
             method=gen_c.synthesize, noise_mode="none",
             mutable=["quant_scales"],
         )
-        # sub-networks are disjoint module subtrees -> shallow merge
-        return {**m1["quant_scales"], **m2["quant_scales"], **m3["quant_scales"]}
+        return m3["quant_scales"]
 
     v = dict(variables)
     for b in batches:

@@ -94,7 +94,7 @@ def build_part_images(
 
 
 def pose_disc_heatmap(
-    keypoints: np.ndarray, img_size: Tuple[int, int], sigma: int = 8
+    keypoints: np.ndarray, img_size: Tuple[int, int], sigma: float = 8
 ) -> np.ndarray:
     """Binary radius-disc heatmap [S,S,K] (reference `cords_to_map`,
     dataset.py:384-410): channel k is 1 inside the open disc of radius
@@ -205,11 +205,30 @@ class PartsFolderDataset:
                 if k in item:
                     item[k] = _resize(item[k]).astype(np.asarray(item[k]).dtype)
             if "pose_heatmap" in item:
-                # binary discs: nearest-neighbor subsample (both dims square)
-                idx = np.clip(
-                    (np.arange(self.resolution) * S / self.resolution).astype(np.int64),
-                    0, S - 1,
+                # Regenerate the discs at the target resolution from the
+                # rescaled keypoints: index-subsampling can skip a whole disc
+                # when the stride exceeds its diameter, silently dropping
+                # keypoints from the heatmap.  Offsets replay square_pad's
+                # centering; sigma scales with the canvas so disc coverage
+                # matches the native-resolution map.
+                h0, w0 = img.shape[:2]
+                scale = self.resolution / S
+                kp = kps.copy()
+                valid = kp[:, 2] != -1
+                kp[valid, 0] = (kp[valid, 0] + (S - w0) // 2) * scale
+                kp[valid, 1] = (kp[valid, 1] + (S - h0) // 2) * scale
+                hm = pose_disc_heatmap(
+                    kp, (self.resolution, self.resolution),
+                    max(self.sigma * scale, 1.0),
                 )
-                item["pose_heatmap"] = item["pose_heatmap"][idx][:, idx]
+                # the native map clips discs at the unpadded image bounds
+                # before padding — zero the padding region to match
+                y0 = int(round((S - h0) // 2 * scale))
+                x0 = int(round((S - w0) // 2 * scale))
+                y1 = int(round(((S - h0) // 2 + h0) * scale))
+                x1 = int(round(((S - w0) // 2 + w0) * scale))
+                keep = np.zeros_like(hm)
+                keep[y0:y1, x0:x1] = hm[y0:y1, x0:x1]
+                item["pose_heatmap"] = keep
         item["image"] = padded.astype(np.uint8)
         return item

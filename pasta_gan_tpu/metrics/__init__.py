@@ -1,5 +1,6 @@
-"""Evaluation metrics: FID/KID/IS/PR (+PPL formula) with pluggable extractors."""
+"""Evaluation metrics: FID/KID/IS/PR/PPL with pluggable extractors."""
 
+from .detectors_manifest import DETECTORS, find_detector, verify_detector
 from .extractors import SimpleConvFeatures, TorchScriptDetector, default_extractor
 from .feature_stats import FeatureStats, stats_cache_path
 from .formulas import (
@@ -10,7 +11,7 @@ from .formulas import (
     precision_recall_from_features,
     slerp,
 )
-from .ppl import center_crop_for_ppl, compute_ppl, vgg_feature_distance
+from .ppl import center_crop_for_ppl, compute_ppl, lpips_distance, vgg_feature_distance
 from .metric_main import (
     MetricOptions,
     calc_metric,

@@ -56,12 +56,25 @@ class MetricOptions:
         extractor: Optional[FeatureExtractor] = None,
         cache_dir: Optional[str] = None,
         rng_seed: int = 0,
+        ppl_sampler: Optional[Callable] = None,
+        ppl_distance: Optional[Callable] = None,
+        ppl_num_samples: Optional[int] = None,
     ):
         self.real_source = real_source
         self.gen_source = gen_source
         self.extractor = extractor or default_extractor()
         self.cache_dir = cache_dir
         self.rng = np.random.default_rng(rng_seed)
+        # PPL plumbing: `ppl_sampler(space)` -> (synthesize_from_ws, pair
+        # iterable yielding (ws0, ws1[, aux...])); `ppl_distance(img0, img1)`
+        # -> per-sample squared perceptual distance on [0,255]-range float
+        # images (default: a deterministic float-path conv proxy — supply
+        # LPIPS-VGG16 weights via metrics.ppl.lpips_distance for the
+        # reference-calibrated number); `ppl_num_samples` overrides the 50k
+        # protocol (CI / smoke runs).
+        self.ppl_sampler = ppl_sampler
+        self.ppl_distance = ppl_distance
+        self.ppl_num_samples = ppl_num_samples
 
 
 @register_metric
@@ -126,11 +139,79 @@ def pr50k3(opts: MetricOptions, max_real=50000, num_gen=50000):
     )
 
 
+def _default_ppl_distance():
+    """Float-path proxy perceptual distance: SimpleConvFeatures evaluated in
+    float32 (NO uint8 rounding — the epsilon-sized image perturbation PPL
+    divides by would quantize to zero under the FID extractors' uint8
+    contract).  Deterministic and offline-runnable; NOT LPIPS-calibrated —
+    for the reference-exact ppl numbers pass
+    `ppl_distance=metrics.ppl.lpips_distance(vgg16_state_dict)`."""
+    import jax.numpy as jnp
+
+    from .extractors import SimpleConvFeatures
+
+    feat = SimpleConvFeatures()
+
+    def dist(a, b):
+        fa, fb = feat._fn(a), feat._fn(b)
+        return jnp.sum(jnp.square(fa - fb), axis=-1)
+
+    return dist
+
+
+def _ppl(opts: MetricOptions, space, sampling, crop, num_samples=50000, epsilon=1e-4):
+    """Shared PPL driver (reference `metric_main.py:101-103,133-150`:
+    compute_ppl with space/sampling/crop per registered variant)."""
+    from .ppl import compute_ppl
+
+    if opts.ppl_sampler is None:
+        raise ValueError(
+            "PPL metrics need MetricOptions.ppl_sampler — a factory "
+            "`sampler(space) -> (synthesize_from_ws, ws_pair_iterable)`; "
+            "cli.calc_metrics builds one from --network"
+        )
+    synthesize_from_ws, pair_source = opts.ppl_sampler(space)
+    distance = opts.ppl_distance or _default_ppl_distance()
+    return compute_ppl(
+        synthesize_from_ws, pair_source, distance,
+        num_samples=opts.ppl_num_samples or num_samples,
+        epsilon=epsilon, sampling=sampling, crop=crop, rng=opts.rng,
+    )
+
+
+@register_metric
+def ppl2_wend(opts: MetricOptions):
+    """The reference's metric of record for PPL (`metric_main.py:101-103`):
+    w-space, end sampling, crop=False, 50k samples, epsilon 1e-4."""
+    return dict(ppl2_wend=_ppl(opts, "w", "end", crop=False))
+
+
+@register_metric
+def ppl_zfull(opts: MetricOptions):
+    return dict(ppl_zfull=_ppl(opts, "z", "full", crop=True))
+
+
+@register_metric
+def ppl_wfull(opts: MetricOptions):
+    return dict(ppl_wfull=_ppl(opts, "w", "full", crop=True))
+
+
+@register_metric
+def ppl_zend(opts: MetricOptions):
+    return dict(ppl_zend=_ppl(opts, "z", "end", crop=True))
+
+
+@register_metric
+def ppl_wend(opts: MetricOptions):
+    return dict(ppl_wend=_ppl(opts, "w", "end", crop=True))
+
+
 def calc_metric(metric: str, **kwargs) -> dict:
     """reference metric_main.calc_metric (`metric_main.py:39-64`)."""
     assert is_valid_metric(metric), f"unknown metric {metric}; valid: {list_valid_metrics()}"
     opts = MetricOptions(**{k: v for k, v in kwargs.items() if k in
-                            ("real_source", "gen_source", "extractor", "cache_dir", "rng_seed")})
+                            ("real_source", "gen_source", "extractor", "cache_dir", "rng_seed",
+                             "ppl_sampler", "ppl_distance", "ppl_num_samples")})
     start = time.time()
     results = _metric_dict[metric](opts)
     return dict(

@@ -73,8 +73,8 @@ def lpips_distance(state_dict):
 
 
 def compute_ppl(
-    synthesize_from_ws: Callable[[jnp.ndarray], jnp.ndarray],  # ws -> [-1,1] NHWC images
-    ws_pair_source: Iterable,  # yields (ws0, ws1) [B, num_ws, w_dim]
+    synthesize_from_ws: Callable[[jnp.ndarray], jnp.ndarray],  # ws[, *aux] -> [-1,1] NHWC images
+    ws_pair_source: Iterable,  # yields (ws0, ws1[, *aux]) — ws [B, num_ws, w_dim]
     distance_fn: Callable,
     num_samples: int = 2000,
     epsilon: float = 1e-4,
@@ -82,18 +82,24 @@ def compute_ppl(
     crop: bool = True,
     rng: Optional[np.random.Generator] = None,
 ) -> float:
+    """Pairs may carry extra conditioning: a source yielding
+    (ws0, ws1, aux...) has the aux forwarded to `synthesize_from_ws(ws, aux...)`
+    unchanged while w interpolates — the try-on generators condition the
+    synthesis on pose/retain/denorm inputs that must be held fixed along the
+    w path (reference `perceptual_path_length.py:36-63` holds c fixed)."""
     assert sampling in ("full", "end")
     rng = rng or np.random.default_rng(0)
     dists = []
     n = 0
-    for ws0, ws1 in ws_pair_source:
+    for item in ws_pair_source:
+        ws0, ws1, *aux = item
         B = ws0.shape[0]
         t = rng.uniform(size=(B, 1, 1)) if sampling == "full" else np.zeros((B, 1, 1))
         t = jnp.asarray(t, ws0.dtype)
         wt0 = ws0 + (ws1 - ws0) * t
         wt1 = ws0 + (ws1 - ws0) * (t + epsilon)
-        img0 = synthesize_from_ws(wt0)
-        img1 = synthesize_from_ws(wt1)
+        img0 = synthesize_from_ws(wt0, *aux)
+        img1 = synthesize_from_ws(wt1, *aux)
         if crop:
             img0, img1 = center_crop_for_ppl(img0), center_crop_for_ppl(img1)
         # scale to the reference's [0,255] convention before the distance net

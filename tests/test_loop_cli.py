@@ -175,3 +175,19 @@ def test_cli_test_and_512_smoke(tmp_path):
                        "--outdir", out512_dp, "--batchsize", "8", "--dp",
                        "--change_region", "lowerbody"])
     assert sorted(os.listdir(out512_dp)) == sorted(os.listdir(out512))
+
+    # --- PPL through the metrics CLI on the same GeneratorFull snapshot
+    # (w-space pairs from mapped style codes; proxy distance; 4 samples)
+    from pasta_gan_tpu.cli import calc_metrics as cli_metrics
+
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_metrics.main(["--metrics", "ppl2_wend", "--network", snap,
+                          "--synthetic", "4", "--batch", "2",
+                          "--ppl_samples", "4", "--run_dir", str(tmp_path)])
+    row = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert np.isfinite(row["results"]["ppl2_wend"])
+    assert os.path.exists(os.path.join(str(tmp_path), "metric-ppl2_wend.jsonl"))

@@ -169,3 +169,47 @@ def test_quality_regression_script():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["metric"] == "fid_proxy"
     assert np.isfinite(rec["value"]) and np.isfinite(rec["recon_l1"])
+
+
+def test_ppl_registered_metrics_and_driver():
+    """ppl2_wend + the four legacy aliases are registered metrics (reference
+    metric_main.py:101-103,133-150) and run through calc_metric with a toy
+    sampler carrying fixed conditioning aux."""
+    import jax
+    import jax.numpy as jnp
+
+    from pasta_gan_tpu.metrics.metric_main import list_valid_metrics
+
+    names = set(list_valid_metrics())
+    assert {"ppl2_wend", "ppl_zfull", "ppl_wfull", "ppl_zend", "ppl_wend"} <= names
+
+    proj = jax.random.normal(jax.random.PRNGKey(2), (128, 3))
+
+    def synth(ws, aux):
+        base = jnp.tanh(ws[:, 0, :] @ proj) + aux["bias"]
+        return jnp.tile(base[:, None, None, :], (1, 64, 64, 1))
+
+    def sampler(space):
+        assert space == "w"
+
+        def pair_iter():
+            k = 0
+            while True:
+                ws0 = jax.random.normal(jax.random.PRNGKey(k), (4, 2, 128))
+                ws1 = jax.random.normal(jax.random.PRNGKey(k + 1), (4, 2, 128))
+                yield ws0, ws1, {"bias": jnp.float32(0.1)}
+                k += 2
+
+        return synth, pair_iter()
+
+    res = calc_metric("ppl2_wend", ppl_sampler=sampler, ppl_num_samples=8, rng_seed=0)
+    val = res["results"]["ppl2_wend"]
+    assert np.isfinite(val) and val > 0.0, val
+
+    # w-space aliases run too (crop=True path exercises center_crop_for_ppl)
+    res2 = calc_metric("ppl_wend", ppl_sampler=sampler, ppl_num_samples=8, rng_seed=0)
+    assert np.isfinite(res2["results"]["ppl_wend"])
+
+    # without a sampler the error is actionable, not an attribute crash
+    with pytest.raises(ValueError, match="ppl_sampler"):
+        calc_metric("ppl2_wend")

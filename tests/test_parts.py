@@ -174,3 +174,28 @@ def test_parts_folder_dataset(tmp_path):
     for k in ("head_img", "top_img", "pant_img", "palm_img"):
         assert item64[k].shape == (64, 64, 3), (k, item64[k].shape)
     assert item64["head_img"].sum() > 0  # content survives the resize
+
+
+def test_pose_heatmap_downscale_keeps_all_keypoints(tmp_path):
+    """Regression: index-subsampling the disc heatmap dropped whole
+    keypoints once the stride exceeded a disc's diameter.  The resize path
+    now regenerates discs from rescaled keypoints, so every valid keypoint
+    must keep a nonzero channel at ANY downscale factor."""
+    import PIL.Image
+
+    h = w = 1024  # resolution=32 -> stride 32 > disc diameter 16 (sigma=8)
+    kps = np.full((18, 3), -1.0, np.float32)
+    # valid keypoints deliberately placed BETWEEN subsample lines
+    for i, (x, y) in enumerate([(48, 48), (500, 300), (900, 700)]):
+        kps[i] = (x + 16, y + 16, 0.9)
+    stem = os.path.join(tmp_path, "img0")
+    PIL.Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(stem + ".jpg")
+    with open(stem + "_keypoints.json", "w") as f:
+        json.dump({"people": [{"pose_keypoints_2d": kps.reshape(-1).tolist()}]}, f)
+
+    ds = PartsFolderDataset(str(tmp_path), resolution=32, sigma=8)
+    hm = ds[0]["pose_heatmap"]
+    assert hm.shape == (32, 32, 18)
+    per_ch = hm.reshape(-1, 18).sum(0)
+    assert (per_ch[:3] > 0).all(), per_ch[:3]
+    assert (per_ch[3:] == 0).all()

@@ -192,3 +192,65 @@ def test_generator_full_quant_same_param_tree():
     )
     assert ft.shape == (N, RES, RES, 3)
     assert bool(jnp.isfinite(ft).all())
+
+
+@pytest.mark.slow
+def test_calibrate_int8_static_multi_batch_all_subnets():
+    """Regression for the calibration shallow-merge bug (cli/test.py):
+    Flax apply returns the FULL collection including carried entries, so an
+    unchained merge of the three sub-network applies let synthesize's stale
+    encoder copies overwrite the fresh encoder amax folds on every batch
+    after the first.  With a 2nd calibration batch 10x larger, EVERY
+    sub-network subtree (style_encoding / const_encoding / synthesis) must
+    grow at least one stored amax."""
+    from pasta_gan_tpu.cli.test import calibrate_int8_static
+    from pasta_gan_tpu.models import GeneratorFull
+
+    kw = dict(img_resolution=64, channel_base=2048, channel_max=128)
+    ctor = lambda **over: GeneratorFull(**kw, **over)
+    N, RES = 1, 64
+
+    def mk_batch(scale, seed):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+        return dict(
+            style_input=scale * jax.random.normal(ks[0], (N, RES // 4, RES // 4, 42)),
+            retain=scale * jax.random.normal(ks[1], (N, RES, RES, 3)),
+            pose=scale * jax.random.normal(ks[2], (N, RES, RES, 6)),
+            denorm_upper_img=scale * jax.random.normal(ks[3], (N, RES, RES, 3)),
+            denorm_lower_img=scale * jax.random.normal(ks[4], (N, RES, RES, 3)),
+            denorm_upper_mask=jnp.zeros((N, RES, RES, 1)),
+            denorm_lower_mask=jnp.zeros((N, RES, RES, 1)),
+        )
+
+    rng = jax.random.PRNGKey(0)
+    gen = ctor()
+    b1 = mk_batch(1.0, 1)
+    v = gen.init(
+        {"params": rng, "noise": rng},
+        None, b1["style_input"], b1["retain"], b1["pose"],
+        b1["denorm_upper_img"], b1["denorm_lower_img"],
+        b1["denorm_upper_mask"], b1["denorm_lower_mask"], noise_mode="none",
+    )
+    w_avg = jnp.zeros((512,))
+
+    v1 = calibrate_int8_static(ctor, v, w_avg, 1.0, [b1])
+    v2 = calibrate_int8_static(ctor, v, w_avg, 1.0, [b1, mk_batch(10.0, 2)])
+
+    flat1 = jax.tree_util.tree_flatten_with_path(v1["quant_scales"])[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(v2["quant_scales"])[0])
+    assert flat1 and set(flat2) == {p for p, _ in flat1}
+    grew = {}
+    for path, a1 in flat1:
+        a2 = flat2[path]
+        assert float(a2) >= float(a1) - 1e-7, path  # amax only grows
+        top = path[0].key
+        grew[top] = grew.get(top, False) or float(a2) > float(a1) * 1.5
+    assert set(grew) >= {"style_encoding", "const_encoding", "synthesis"}, grew
+    for top, g in grew.items():
+        assert g, f"sub-network {top} never folded the 2nd calibration batch"
+
+    # the calibrated variables actually serve in static mode
+    gen_s = ctor(quant="int8_static")
+    (stylecode, feats) = gen_s.apply(
+        v2, b1["style_input"], b1["retain"], method=gen_s.encode_style)
+    assert bool(jnp.isfinite(stylecode).all())
