@@ -51,16 +51,31 @@ def main(argv=None):
     p.add_argument("--p", type=float, default=0.0, help="fixed augment p (--aug fixed)")
     p.add_argument("--target", type=float, default=0.6, help="ADA target")
     p.add_argument("--augpipe", default="bgc")
+    # Round-4 default flip: fast_geom + stack_calls are the config of record
+    # (ADA step 448 vs 1210 ms at batch 8 bf16; exact-vs-fast fid_proxy delta
+    # 0.07, WITHIN the 0.09 seed-to-seed noise over the same fixed 60-step
+    # run — BASELINE.md round-4 ADA quality section).
     p.add_argument("--ada_fast_geom", action="store_true",
-                   help="two-pass affine ADA warp (exact for axis-aligned "
-                   "draws; ~1.5x faster step)")
+                   help="(default) two-pass affine ADA warp; kept for "
+                   "backwards-compatible invocations")
+    p.add_argument("--ada_exact_geom", action="store_true",
+                   help="single-pass reference-parity ADA warp (the pre-r4 "
+                   "default: ~2.7x slower step; also disables stack_calls "
+                   "unless --ada_stack_calls is passed — the exact warp's "
+                   "supersampled intermediates can OOM when stacked next to "
+                   "the VGG backward)")
     p.add_argument("--ada_stack_calls", action="store_true",
-                   help="batch the per-loss ADA+D calls into one invocation")
+                   help="batch the per-loss ADA+D calls into one invocation "
+                   "(default with fast_geom)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None, help="train-state checkpoint dir")
     p.add_argument("--vgg_ckpt", default=None, help="torch vgg19 state_dict path")
     p.add_argument("--snap", type=int, default=50, help="snapshot interval ticks")
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                   help="compute dtype (fp32 master weights either way; the "
+                   "bf16 policy is parity-tested incl. the R1 double-"
+                   "backprop — tests/test_train.py).  Default bfloat16: "
+                   "the TPU config of record (448 vs 505 ms ADA step)")
     p.add_argument("--fmaps", type=float, default=None, help="channel_base multiplier override (reference --fmaps)")
     p.add_argument("--kimg_per_tick", type=int, default=None)
     p.add_argument("-n", "--dry-run", action="store_true")
@@ -79,8 +94,8 @@ def main(argv=None):
         "ada.target": args.target,
         "ada.pipe": args.augpipe,
         "ada.initial_p": args.p,
-        "ada.fast_geom": args.ada_fast_geom,
-        "ada.stack_calls": args.ada_stack_calls,
+        "ada.fast_geom": not args.ada_exact_geom,
+        "ada.stack_calls": args.ada_stack_calls or not args.ada_exact_geom,
         "random_seed": args.seed,
         "compute_dtype": args.dtype,
         "network_snapshot_ticks": args.snap,

@@ -59,17 +59,32 @@ def _dot_bf16x3(a, b):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def _pack_bits(flags: jnp.ndarray) -> jnp.ndarray:
+    """Pack a [..., T] 0/1 int array into [..., ceil(T/32)] int32 bitmask
+    words (bit t of word t//32 = flag t).  The per-(part, dst-tile) flag
+    tables live in SMEM via scalar prefetch; packed words cut that footprint
+    32x, which is what lets the dst tiles go below 8 rows (the round-3 norm
+    kernel ran out of SMEM at 8)."""
+    T = flags.shape[-1]
+    pad = (-T) % 32
+    f = jnp.pad(flags.astype(jnp.uint32), [(0, 0)] * (flags.ndim - 1) + [(0, pad)])
+    f = f.reshape(flags.shape[:-1] + ((T + pad) // 32, 32))
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(f << shifts, axis=-1).astype(jnp.int32)
+
+
 def _warp_kernel(
     minv_ref, flags_ref, srcA_ref, out_ref, *, Hs, Ws, W, log2_w, C, P, border
 ):
     i = pl.program_id(0)
     t = pl.program_id(1)
+    flag = (flags_ref[i, t >> 5] >> (t & 31)) & 1
 
-    @pl.when(flags_ref[i, t] == 0)
+    @pl.when(flag == 0)
     def _():
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    @pl.when(flags_ref[i, t] != 0)
+    @pl.when(flag != 0)
     def _():
         m00 = minv_ref[i, 0]
         m01 = minv_ref[i, 1]
@@ -153,7 +168,7 @@ _support_row_flags_v = jax.vmap(
 
 
 def _norm_kernel(
-    minv_ref, yflags_ref, xflags_ref, srcA_ref, out_ref, t_ref, acc_ref,
+    minv_ref, flags_ref, srcA_ref, out_ref, t_ref, acc_ref,
     *, Hs, Ws, st, W, log2_w, C, P, border, n_y, n_x,
 ):
     """NORM direction (full frame -> small patch) with 2D source-tile
@@ -196,14 +211,17 @@ def _norm_kernel(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (st, P), 0).astype(jnp.float32)
 
+    # one packed word per (part, dst-tile): bits 0..n_y-1 = y-tile flags,
+    # bits 16..16+n_x-1 = x-tile flags (SMEM bitmask, see _pack_bits)
+    word = flags_ref[i, t]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for j in range(n_y):
-        @pl.when(yflags_ref[i, t, j] != 0)
+        @pl.when((word >> j) & 1 != 0)
         def _(j=j):
             B = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (sub + j * st)))  # [st, P]
             t_ref[...] = jnp.zeros_like(t_ref)
             for k in range(n_x):
-                @pl.when(xflags_ref[i, t, k] != 0)
+                @pl.when((word >> (16 + k)) & 1 != 0)
                 def _(j=j, k=k):
                     A = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (sub + k * st)))
                     t_ref[...] += _dot_bf16x3(
@@ -272,6 +290,18 @@ _tile_src_flags_v = jax.vmap(
 )
 
 
+def _pack_yx_flags(yflags, xflags, n_y, n_x):
+    """[N, T, n_y] + [N, T, n_x] 0/1 flags -> ONE int32 word per (part,
+    dst-tile): bits 0..n_y-1 = y flags, bits 16..16+n_x-1 = x flags.  Cuts
+    the norm kernel's SMEM flag footprint (n_y + n_x) * 32x."""
+    assert n_y <= 16 and n_x <= 16, (n_y, n_x)
+    sy = 1 << jnp.arange(n_y, dtype=jnp.int32)
+    sx = 1 << jnp.arange(n_x, dtype=jnp.int32) << 16
+    return (jnp.sum(yflags * sy, axis=-1) | jnp.sum(xflags * sx, axis=-1)).astype(
+        jnp.int32
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "border", "rows_per_tile", "src_tiles", "interpret"),
@@ -314,7 +344,8 @@ def warp_frame_to_parts_pallas(
     yflags, xflags = _tile_src_flags_v(
         Minv, valid_b, out_hw, rows_per_tile, Hs, Ws, st, n_y, n_x, border
     )  # [N, n_tiles, n_y], [N, n_tiles, n_x]
-    minv9, yflags, xflags = jax.lax.optimization_barrier((minv9, yflags, xflags))
+    flags = _pack_yx_flags(yflags, xflags, n_y, n_x)  # [N, n_tiles] words
+    minv9, flags = jax.lax.optimization_barrier((minv9, flags))
 
     # [n_y, C*st, Ws]: block row j holds channel-major rows j*st..j*st+st
     srcA = (
@@ -329,7 +360,7 @@ def warp_frame_to_parts_pallas(
         border=border, n_y=n_y, n_x=n_x,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # minv9, yflags, xflags in SMEM
+        num_scalar_prefetch=2,  # minv9, packed flag words in SMEM
         grid=(N, n_tiles),
         in_specs=[
             pl.BlockSpec((1, n_y, C * st, Ws), lambda i, t, *_: (0, 0, 0, 0)),
@@ -345,7 +376,7 @@ def warp_frame_to_parts_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, C, h * w), jnp.float32),
         interpret=interpret,
-    )(minv9, yflags, xflags, srcA[None])
+    )(minv9, flags, srcA[None])
     return jnp.transpose(out.reshape(N, C, h, w), (0, 2, 3, 1))
 
 
@@ -391,7 +422,8 @@ def warp_frame_to_parts_pallas_batched(
         Minv.reshape(B * N, 3, 3), valid_b.reshape(B * N), out_hw,
         rows_per_tile, Hs, Ws, st, n_y, n_x, border,
     )
-    minv9, yflags, xflags = jax.lax.optimization_barrier((minv9, yflags, xflags))
+    flags = _pack_yx_flags(yflags, xflags, n_y, n_x)
+    minv9, flags = jax.lax.optimization_barrier((minv9, flags))
 
     srcA = (
         jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2))  # [B, C, Hs, Ws]
@@ -405,7 +437,7 @@ def warp_frame_to_parts_pallas_batched(
         border=border, n_y=n_y, n_x=n_x,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B * N, n_tiles),
         in_specs=[
             pl.BlockSpec((1, n_y, C * st, Ws), lambda i, t, *_: (i // N, 0, 0, 0)),
@@ -421,7 +453,7 @@ def warp_frame_to_parts_pallas_batched(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * N, C, h * w), jnp.float32),
         interpret=interpret,
-    )(minv9, yflags, xflags, srcA)
+    )(minv9, flags, srcA)
     return jnp.transpose(out.reshape(B, N, C, h, w), (0, 1, 3, 4, 2))
 
 
@@ -470,6 +502,7 @@ def warp_parts_pallas(
         flags = _support_row_flags_v(
             M_fwd.astype(jnp.float32), valid_b, Hs, Ws, H, n_tiles, rows_per_tile
         )
+    flags = _pack_bits(flags)  # [N, ceil(n_tiles/32)] SMEM bitmask words
     # keep the tiny per-part setup (inverse, corner projection) out of the
     # kernel's consumers — XLA otherwise re-evaluates it per fusion tile
     minv9, flags = jax.lax.optimization_barrier((minv9, flags))

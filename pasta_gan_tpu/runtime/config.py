@@ -91,14 +91,19 @@ class AdaConfig:
     static_margin: Optional[int] = None  # geometric reflect-pad margin override
     # two-pass affine warp execution (ops/shear_warp.py): ~100x fewer
     # gather/scatter rows fwd+bwd; exact for axis-aligned draws, slightly
-    # different linear reconstruction for rotated ones (documented fast mode)
-    fast_geom: bool = False
+    # different linear reconstruction for rotated ones.  DEFAULT since r4:
+    # ADA step 448 vs 1210 ms (batch 8, bf16), and the exact-vs-fast
+    # fid_proxy delta over the same fixed 60-step run (0.07) is within the
+    # seed-to-seed noise (0.09) — BASELINE.md round-4 ADA quality section.
+    # Set False for the single-pass reference-parity warp.
+    fast_geom: bool = True
     # stack the per-loss ADA+D invocations into one batched call (g_loss:
     # img+ft_img, d_loss: img+ft_img+real).  Distribution-identical (augment
-    # draws are per-sample; mbstd groups align on the batch boundaries); off
-    # by default because the exact warp's supersampled intermediates scale
-    # with the stacked batch and can OOM next to the VGG backward.
-    stack_calls: bool = False
+    # draws are per-sample; mbstd groups align on the batch boundaries).
+    # Default with fast_geom; with the EXACT warp the stacked supersampled
+    # intermediates scale with the stacked batch and can OOM next to the
+    # VGG backward — cli.train --ada_exact_geom therefore drops it too.
+    stack_calls: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -141,7 +141,9 @@ def training_loop(
     # Init / resume.
     host_batch = next(loader)
     init_batch = jax.device_get(prepare_train_batch(host_batch, rng))
-    state = trainer.init_state(rng, {k: v[:1] for k, v in init_batch.items()})
+    # jitted: un-jitted init dispatches each op through the TPU transport
+    # individually (minutes of per-op RTT on remote-tunnel backends)
+    state = jax.jit(trainer.init_state)(rng, {k: v[:1] for k, v in init_batch.items()})
     if resume is not None:
         state = restore_train_state(resume, state)
         if verbose:

@@ -75,7 +75,7 @@ def main():
     }
     batch = jax.device_put(batch)
 
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0), batch)
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
 
     times = []

@@ -34,6 +34,20 @@ def main():
     ap.add_argument("--channel_base", type=int, default=4096)
     ap.add_argument("--channel_max", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ada", choices=["off", "exact", "fast"], default="off",
+                    help="ADA mode for the regression run: 'exact' = the "
+                    "single-pass reference-parity warp, 'fast' = the "
+                    "fast_geom two-pass warp + stack_calls (the round-4 "
+                    "default candidate).  Runs use a FIXED augment p "
+                    "(--ada_p) so short runs exercise the pipe at all "
+                    "(the adaptive controller would hold p~0 for 10s of "
+                    "steps).")
+    ap.add_argument("--ada_p", type=float, default=0.3)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    ap.add_argument("--seed_offset", type=int, default=0,
+                    help="offset the per-step train RNG seeds: two exact runs "
+                    "at different offsets give the noise scale that |fast - "
+                    "exact| must stay within")
     ap.add_argument("--quant", choices=["int8", "int8_static"], default=None,
                     help="also evaluate the int8 serving mode (ops/quant.py): "
                     "reports fid_proxy_quant + pixel delta vs the fp forward")
@@ -67,7 +81,15 @@ def main():
             mbstd_group_size=min(4, args.batch), mapping_layers=2,
         ),
         loss=LossConfig(l1_weight=40.0, vgg_weight=0.0, mask_weight=20.0, r1_gamma=10.0),
-        ada=AdaConfig(enabled=False),
+        ada=AdaConfig(
+            enabled=args.ada != "off",
+            # fixed p: initial_p with an effectively-frozen controller
+            initial_p=args.ada_p,
+            kimg=10**9,
+            fast_geom=args.ada == "fast",
+            stack_calls=args.ada == "fast",
+        ),
+        compute_dtype=args.dtype,
         batch_size=args.batch,
     )
     ds = SyntheticUvitonDataset(num_samples=args.samples, resolution=args.res, seed=123)
@@ -79,11 +101,16 @@ def main():
         hb = {k: v[i : i + args.batch] for k, v in host.items()}
         batches.append(jax.device_get(prepare_train_batch(hb, jax.random.PRNGKey(i))))
 
-    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    # jit the init: un-jitted dispatch through the axon TPU tunnel pays
+    # ~per-op RTT and takes minutes (verify-skill round-2 lesson)
+    state = jax.jit(trainer.init_state)(jax.random.PRNGKey(0), batches[0])
     step = jax.jit(trainer.train_step, donate_argnums=(0,))
     t0 = time.time()
     for it in range(args.steps):
-        state, stats = step(state, batches[it % len(batches)], jax.random.PRNGKey(100 + it))
+        state, stats = step(
+            state, batches[it % len(batches)],
+            jax.random.PRNGKey(100 + args.seed_offset + it),
+        )
     jax.block_until_ready(state.g_params)
     train_s = time.time() - t0
 
@@ -128,6 +155,9 @@ def main():
         "steps": args.steps,
         "samples": args.samples,
         "train_s": round(train_s, 1),
+        "ada": args.ada,
+        "dtype": args.dtype,
+        "seed_offset": args.seed_offset,
     }
 
     if args.quant:
