@@ -71,6 +71,10 @@ def main(argv=None):
     p.add_argument("--resume", default=None, help="train-state checkpoint dir")
     p.add_argument("--vgg_ckpt", default=None, help="torch vgg19 state_dict path")
     p.add_argument("--snap", type=int, default=50, help="snapshot interval ticks")
+    p.add_argument("--img_snap", type=int, default=None,
+                   help="image-grid interval ticks (default: config preset, 50)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="host decode worker threads (default: config preset)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                    help="compute dtype (fp32 master weights either way; the "
                    "bf16 policy is parity-tested incl. the R1 double-"
@@ -108,6 +112,10 @@ def main(argv=None):
         overrides["model.channel_base"] = int(args.fmaps * 32768)
     if args.kimg_per_tick is not None:
         overrides["kimg_per_tick"] = args.kimg_per_tick
+    if args.img_snap is not None:
+        overrides["image_snapshot_ticks"] = args.img_snap
+    if args.workers is not None:
+        overrides["data_workers"] = args.workers
     config = replace_nested(config, **overrides)
 
     desc = f"{args.cfg}-batch{config.batch_size}"

@@ -231,6 +231,11 @@ def parsing_to_rgb(parsing: np.ndarray) -> np.ndarray:
     then the label palette.  Accepts [H,W], [N,H,W], or [N,H,W,K].
     """
     x = np.asarray(parsing)
+    if x.dtype.kind not in "iu":
+        # bf16 arrives as ml_dtypes.bfloat16 (kind 'V'), which fails
+        # np.issubdtype(..., np.floating) — normalize all non-integer
+        # dtypes to float32 so the logits branch below triggers.
+        x = x.astype(np.float32)
     if x.ndim >= 3 and x.shape[-1] > 1 and np.issubdtype(x.dtype, np.floating):
         x = np.argmax(x, axis=-1)
     elif x.ndim >= 3 and x.shape[-1] == 1:

@@ -77,6 +77,23 @@ def test_utils_assert_shape_and_grid(tmp_path):
     assert PIL.Image.open(path).size == (24, 16)  # 3x2 grid of 8x8
 
 
+def test_parsing_to_rgb_bf16_logits(tmp_path):
+    """bf16 logits must take the argmax branch (regression: the round-4
+    training smoke run crashed at the first image snapshot because
+    ml_dtypes.bfloat16 fails np.issubdtype(..., np.floating), so the
+    [N,H,W,K] logits skipped argmax and palette[x] came out 5-D)."""
+    from pasta_gan_tpu.utils import parsing_to_rgb, save_image_grid
+
+    logits = jnp.zeros((2, 8, 8, 20), jnp.bfloat16)
+    logits = logits.at[..., 3].set(1.0)
+    rgb = parsing_to_rgb(np.asarray(jax.device_get(logits)))
+    assert rgb.shape == (2, 8, 8, 3)
+    # class 3 everywhere -> the palette row for label 3
+    np.testing.assert_allclose(rgb[0, 0, 0], np.array([0, 85, 0]) / 255.0, atol=1e-6)
+    # the save path the training loop uses must accept it end-to-end
+    save_image_grid(rgb, str(tmp_path / "p.png"), drange=(0, 1))
+
+
 def test_easydict_and_logger(tmp_path, capsys):
     from pasta_gan_tpu.utils import EasyDict, Logger
 
