@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models import Discriminator, GeneratorFull, cat_feats_dict
@@ -197,28 +198,64 @@ class GANTrainer:
         # types); keep the images' own dtype.
         return self.augment_fn(img, ada_p, rng)
 
+    def _stack_perm(self, n: int, k: int):
+        """Static sample permutation making mbstd groups sub-batch-pure.
+
+        MinibatchStdLayer groups STRIDED over the batch (sample q's stat
+        set is {q mod N/G + g*N/G}, matching reference `networks.py:1000`),
+        so a plain concat of k sub-batches puts gen/ft/real samples in the
+        SAME stat group — real/fake leakage the sequential mode never has
+        (and a reshape crash when n is not a group multiple).  Placing
+        sub-batch j's sample i at position
+
+            pos(j, i) = j*(n/G) + i mod (n/G) + (i div (n/G)) * k*(n/G)
+
+        makes every strided stat set {m + g*(kn/G)} land inside one
+        sub-batch AND reproduce the sequential per-call grouping {i, i+n/G}
+        exactly.  Returns the [k*n] position array, or None when the exact
+        embedding does not exist (G=None full-batch stats, or n % G != 0 —
+        e.g. per-device batch 1 under 8-way DP) — callers then run
+        sequentially."""
+        g = self.config.model.mbstd_group_size
+        if g is None or g <= 0 or n % g:
+            return None
+        npg = n // g
+        j = np.arange(k)[:, None]
+        i = np.arange(n)[None, :]
+        return (j * npg + i % npg + (i // npg) * (k * npg)).reshape(-1)
+
     def _run_D_multi(self, d_params, imgs, c, ada_p, rng):
         """Run the ADA pipe + D over several image batches.
 
         Two execution modes (ada.stack_calls):
-        * sequential (default): one augment+D invocation per batch — the
-          exact warp's supersampled intermediates scale with the stacked
-          batch and were measured to OOM HBM next to the VGG backward;
-        * stacked: ONE batched augment+D call.  Distribution-identical
-          (augment draws are per-sample; mbstd group stats align because
-          each sub-batch is a multiple of the group size) and amortizes the
-          pipe's fixed passes — the fast_geom two-pass warp's intermediates
-          are small enough to afford it.
+        * sequential (default fallback): one augment+D invocation per
+          batch — the exact warp's supersampled intermediates scale with
+          the stacked batch and were measured to OOM HBM next to the VGG
+          backward;
+        * stacked: ONE batched augment+D call.  Distribution-identical —
+          augment draws are per-sample, and the `_stack_perm` sample
+          permutation keeps every mbstd stat group inside one sub-batch
+          (identical grouping to the sequential calls) — while amortizing
+          the pipe's fixed passes; the fast_geom two-pass warp's
+          intermediates are small enough to afford it.  Falls back to
+          sequential when no exact permutation exists (see _stack_perm).
         """
-        if (self.config.ada.stack_calls and len(imgs) > 1
-                and self.augment_fn is not None):
-            n = imgs[0].shape[0]
-            stacked = self._augment(jnp.concatenate(imgs, axis=0), ada_p, rng)
+        n, k = imgs[0].shape[0], len(imgs)
+        pos = (
+            self._stack_perm(n, k)
+            if (self.config.ada.stack_calls and k > 1
+                and self.augment_fn is not None)
+            else None
+        )
+        if pos is not None:
+            inv = np.argsort(pos)  # position p holds stacked sample inv[p]
+            stacked = jnp.concatenate(imgs, axis=0)[inv]
+            cc = jnp.concatenate([c] * k, axis=0)[inv]
             logits = self.disc.apply(
-                d_params, stacked, jnp.concatenate([c] * len(imgs), axis=0)
-            )
-            return [logits[i * n : (i + 1) * n] for i in range(len(imgs))]
-        rngs = jax.random.split(rng, len(imgs))
+                d_params, self._augment(stacked, ada_p, rng), cc
+            )[pos]
+            return [logits[i * n : (i + 1) * n] for i in range(k)]
+        rngs = jax.random.split(rng, k)
         return [
             self.disc.apply(d_params, self._augment(img, ada_p, r), c)
             for img, r in zip(imgs, rngs)

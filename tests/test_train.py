@@ -131,6 +131,33 @@ def test_train_step_stacked_ada_calls():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=5e-3, atol=5e-3)
 
 
+def test_stack_perm_group_purity():
+    """_stack_perm must make every strided mbstd stat group sub-batch-pure
+    and reproduce the sequential per-call grouping {i, i + n/G, ...}
+    (MinibatchStdLayer groups with stride N/G over the batch; a plain
+    concat would pair gen/real samples in one stat group)."""
+    cfg = tiny_config()
+    trainer = GANTrainer(cfg)
+    g = cfg.model.mbstd_group_size
+    for n, k in [(4, 2), (4, 3), (8, 3), (2, 2)]:
+        pos = trainer._stack_perm(n, k)
+        assert pos is not None and sorted(pos) == list(range(k * n))
+        stride = (k * n) // g  # stat set of position p: {p % stride + t*stride}
+        for j in range(k):
+            for i in range(n):
+                p = pos[j * n + i]
+                group_positions = [p % stride + t * stride for t in range(g)]
+                # members, expressed as (sub-batch, sample) of the originals
+                inv = np.argsort(pos)
+                members = [divmod(int(inv[q]), n) for q in group_positions]
+                assert all(m[0] == j for m in members), "group leaked across sub-batches"
+                assert sorted(m[1] for m in members) == sorted(
+                    (i % (n // g)) + t * (n // g) for t in range(g)
+                ), "grouping differs from the sequential per-call layout"
+    # no exact embedding at n % g != 0 (per-device batch 1 under DP)
+    assert trainer._stack_perm(1, 3) is None
+
+
 def test_train_step_data_parallel_8dev():
     assert len(jax.devices()) == 8
     cfg = tiny_config()
