@@ -48,12 +48,13 @@ def denorm_warp_parts(
     formulation.  Called under vmap over the batch."""
     if _on_tpu():
         from ..ops.pallas_warp import warp_parts_pallas
+        from ..ops.tuning import TUNING
 
-        # 8 dst rows/tile: finer tiles skip more of each part's support
-        # (measured ~1.7x vs 16 on realistic denorm quads) while the
+        # 8 dst rows/tile by default: finer tiles skip more of each part's
+        # support (measured ~1.7x vs 16 on realistic denorm quads) while the
         # [C*Hs, P] half-contraction stays well inside VMEM
         C, Hs = src.shape[-1], src.shape[1]
-        rows = max(1, min(8, (1 << 20) // (C * Hs * out_hw[1])))
+        rows = max(1, min(TUNING.denorm_rows_cap, (1 << 20) // (C * Hs * out_hw[1])))
         while out_hw[0] % rows:
             rows -= 1
 
@@ -299,10 +300,13 @@ def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
     == kernel)."""
     Hs, Ws = int(img.shape[0]), int(img.shape[1])
     h, w = out_hw
+    from ..ops.tuning import TUNING
+
+    rows, stiles = TUNING.norm_rows_per_tile, TUNING.norm_src_tiles
     if (
         _on_tpu()
-        and Hs == Ws and Hs % 4 == 0
-        and (w & (w - 1)) == 0 and (h * w) % (16 * w) == 0
+        and Hs == Ws and Hs % stiles == 0 and stiles <= 16
+        and (w & (w - 1)) == 0 and (h * w) % (rows * w) == 0
     ):
         from ..ops.pallas_warp import (
             warp_frame_to_parts_pallas,
@@ -313,12 +317,19 @@ def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
         # ONE batched kernel grid instead of a serial per-sample lax.map
         @jax.custom_batching.custom_vmap
         def _norm(img, Ms):
-            return warp_frame_to_parts_pallas(img, Ms, out_hw, border)
+            return warp_frame_to_parts_pallas(
+                img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles
+            )
 
         @_norm.def_vmap
         def _norm_vmap(axis_size, in_batched, img, Ms):
             assert all(in_batched), in_batched
-            return warp_frame_to_parts_pallas_batched(img, Ms, out_hw, border), True
+            return (
+                warp_frame_to_parts_pallas_batched(
+                    img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles
+                ),
+                True,
+            )
 
         return _norm(img, Ms)
     return _warp_parts_gather(img, Ms, out_hw, border)

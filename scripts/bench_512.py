@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--quant", default=None, choices=["int8", "int8_static"])
+    ap.add_argument("--roofline", action="store_true",
+                    help="also print cost_analysis-derived compute/bandwidth "
+                    "floors for the FORWARD program (VERDICT r3 #6: is the "
+                    "512 bf16 path at its own speed-of-light?)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="trace the forward and print the per-op device-time "
+                    "aggregation (profile_forward.summarize)")
     args = ap.parse_args()
     B = args.batch
 
@@ -115,14 +122,67 @@ def main():
             float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / args.iters
 
-    print(json.dumps({
+    row = {
         "metric": "512px end-to-end try-on throughput (3-region routing + Generator512, "
                   f"batch {B}, {'int8' if args.quant else 'bf16'})",
         "value": round(B / dt, 2),
         "unit": "images/sec/chip",
         "ms_per_batch": round(dt * 1e3, 1),
         "quant": args.quant,
-    }))
+    }
+
+    if args.roofline:
+        # Floors from the COMPILED forward's own post-fusion cost model:
+        # t >= max(flops/peak_mxu, bytes/peak_hbm).  v5e peaks: ~197 TF/s
+        # bf16 (394 TOPS int8), ~819 GB/s HBM.  "bytes accessed" counts
+        # operand+output HBM traffic of each fusion after layout assignment —
+        # the quantity the 512 path is bound by (BASELINE.md round-3: the
+        # int8 quantize passes GROW this term, which is why int8 loses here).
+        ca = fwd.lower(variables, batch0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops, byts = float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+        peak_tf = 394e12 if args.quant else 197e12
+        t_mxu, t_hbm = flops / peak_tf, byts / 819e9
+        # measure the forward alone so the floor compares like-for-like
+        for _ in range(3):
+            jax.block_until_ready(fwd(variables, batch0))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            o = fwd(variables, batch0)
+        jax.block_until_ready(o)
+        dtf = (time.perf_counter() - t0) / args.iters
+        if dtf < B * 1e-4:
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                float(jnp.sum(fwd(variables, batch0)))
+            dtf = (time.perf_counter() - t0) / args.iters
+        row["roofline"] = {
+            "fwd_ms_measured": round(dtf * 1e3, 1),
+            "tflops": round(flops / 1e12, 1),
+            "hbm_gb": round(byts / 1e9, 2),
+            "mxu_floor_ms": round(t_mxu * 1e3, 1),
+            "hbm_floor_ms": round(t_hbm * 1e3, 1),
+            "floor_ms": round(max(t_mxu, t_hbm) * 1e3, 1),
+            "pct_of_roofline": round(100 * max(t_mxu, t_hbm) / dtf, 1),
+        }
+
+    print(json.dumps(row))
+
+    if args.profile:
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_forward import summarize
+
+        for _ in range(3):
+            jax.block_until_ready(fwd(variables, batch0))
+        jax.profiler.start_trace(args.profile)
+        n = 3
+        for _ in range(n):
+            o = fwd(variables, batch0)
+        jax.block_until_ready(o)
+        jax.profiler.stop_trace()
+        summarize(args.profile, n, 30)
 
 
 if __name__ == "__main__":

@@ -97,3 +97,18 @@ def test_norm_kernel_saturation_fidelity():
     out = warp_frame_to_parts_pallas(img, Ms, (32, 32), "replicate",
                                      rows_per_tile=8, interpret=True)
     assert float(jnp.max(jnp.abs(out - ref))) < 1e-4
+
+
+@pytest.mark.parametrize("rows,st", [(4, 8), (16, 2)])
+def test_norm_kernel_swept_tile_configs(rows, st):
+    """The tile parameters swept by scripts/bench_routing.py (ops/tuning.py)
+    are pure scheduling choices — lossless at every (rows_per_tile,
+    src_tiles), including src blockings finer and coarser than the default."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (64, 64, 4)), jnp.float32)
+    Ms = _part_transforms(rng, 3, frame=64, patch=16)
+    ref = _warp_parts_gather(img, Ms, (16, 16), "replicate")
+    out = warp_frame_to_parts_pallas(img, Ms, (16, 16), "replicate",
+                                     rows_per_tile=rows, src_tiles=st,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
