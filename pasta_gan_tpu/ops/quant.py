@@ -14,8 +14,12 @@ Scheme (weight-static, activation-dynamic — standard W8A8):
   is linear per sample, so the scale factors out of the conv and the dequant
   is a cheap fused multiply.  Per-sample (not per-tensor) matters for
   style-modulated convs where per-sample style gains vary widely.
-* accumulation in int32 (`preferred_element_type`), dequant to the requested
-  compute dtype.
+* accumulation on the MXU, emitted directly as the requested float dtype
+  (`preferred_element_type=bf16/f32`): f32 emission is bit-identical to the
+  s32 + dequant path, bf16 emission differs only by output rounding
+  (~1.3e-3, K-independent — measured K=576..4608), and the dequant multiply
+  plus the NEXT site's static quantize collapse into one elementwise fusion
+  (the fused dequant-conv-quant epilogue; VERDICT r3 #6).
 
 This is a SERVING mode: numerics differ from the bf16/fp32 parity contract
 (quantization error ~1e-2 relative per conv), so it is opt-in via
@@ -142,6 +146,18 @@ def int8_conv_like(
         xq, sx = quantize_act_with_scale(x, act_scale)
     else:
         xq, sx = quantize_act(x)
+    # Emit the accumulator as the requested float dtype instead of s32: the
+    # MXU still accumulates exactly (f32 emission is BIT-IDENTICAL to the
+    # s32 path; bf16 emission differs only by output rounding, ~1.3e-3,
+    # independent of K — measured across K=576..4608), but the conv writes
+    # 2 B/elt instead of 4 and the dequant multiply + the NEXT site's
+    # static quantize collapse into ONE elementwise fusion (read 2B,
+    # write 1B).  This is the "fused dequant-conv-quant epilogue" — the
+    # s32 path cost 13 B/elt of inter-conv HBM traffic (s32 out 4 +
+    # dequant 4+2 + quantize 2+1), which is why int8 LOST to bf16 at 512
+    # (BASELINE.md round-3/4 512 section).
+    od = jnp.dtype(out_dtype)
+    pet = od if od in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)) else jnp.float32
     y = jax.lax.conv_general_dilated(
         xq,
         wq,
@@ -149,9 +165,9 @@ def int8_conv_like(
         padding=padding_hw,
         lhs_dilation=lhs_dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=pet,
     )
-    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    return (y * (sx * sw)).astype(out_dtype)
 
 
 def int8_conv2d(
