@@ -24,7 +24,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.matmul_warp import warp_perspective_matmul
+from ..ops.matmul_warp import inv3x3, warp_perspective_matmul
 from .geometry import HAND_PARTS, LOWER_PART_START, NUM_PARTS, part_transforms
 
 
@@ -278,7 +278,7 @@ def warp_perspective(
 ) -> jnp.ndarray:
     """cv2.warpPerspective(img, M, (w, h)) with bilinear interpolation."""
     # barrier: keep the 3x3 inverse out of the per-pixel coordinate fusion
-    Minv = jax.lax.optimization_barrier(jnp.linalg.inv(M))
+    Minv = jax.lax.optimization_barrier(inv3x3(M))
     return warp_perspective_inv(img, Minv, out_hw, border)
 
 

@@ -35,6 +35,7 @@ from flax import linen as nn
 
 from ..ops.upfirdn2d import upfirdn2d
 from ..data.warp import warp_perspective_inv
+from ..ops.matmul_warp import inv3x3
 
 Dtype = Any
 
@@ -168,7 +169,7 @@ def random_patch_transform(patches: jax.Array, rng: jax.Array) -> jax.Array:
     # pixel-space dst->src: src_px = N^-1 A N dst_px with
     # N: px -> normalized (align_corners=False): u = (2x+1)/s - 1
     Nm = jnp.asarray([[2.0 / s, 0, 1.0 / s - 1], [0, 2.0 / s, 1.0 / s - 1], [0, 0, 1]])
-    Ninv = jnp.linalg.inv(Nm)
+    Ninv = inv3x3(Nm)
     M = jnp.einsum("ij,bjk,kl->bil", Ninv, A, Nm)
     return jax.vmap(warp_perspective_inv, in_axes=(0, 0, None, None))(
         patches, M, (s, s), "constant"

@@ -38,6 +38,43 @@ import jax.numpy as jnp
 DEFAULT_PRECISION = jax.lax.Precision.HIGH
 
 
+def inv3x3(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / det), [..., 3, 3].
+
+    jnp.linalg.inv lowers every batch of tiny matrices to LU + two
+    triangular-solve LAPACK-style custom calls whose fixed dispatch cost
+    (~0.9 ms/batch-16 across the routing program's 5 inversion sites,
+    BASELINE.md round 4) dwarfs the arithmetic.  The adjugate form is pure
+    elementwise math that fuses into the surrounding setup for free, and
+    for well-conditioned homographies (the only matrices routed here) it is
+    as accurate as LU (~1e-7 relative; tests/test_matmul_warp.py).
+    Singular input produces inf/nan exactly like jnp.linalg.inv — callers
+    already squash non-finite coordinates for degenerate parts."""
+    M = M.astype(jnp.float32)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def warp_coords(Minv: jnp.ndarray, out_hw: tuple[int, int]):
     """Source-sample coordinates for a dst->src homography.
 
@@ -103,5 +140,5 @@ def warp_perspective_matmul(
     precision=DEFAULT_PRECISION,
 ) -> jnp.ndarray:
     """cv2.warpPerspective(img, M, (w, h)) via the matmul formulation."""
-    Minv = jax.lax.optimization_barrier(jnp.linalg.inv(M))
+    Minv = jax.lax.optimization_barrier(inv3x3(M))
     return warp_perspective_inv_matmul(img, Minv, out_hw, border, precision)

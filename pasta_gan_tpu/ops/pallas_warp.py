@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .matmul_warp import inv3x3
+
 def _dot_bf16x3(a, b):
     """f32 matmul as three bf16 passes (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi),
     ~1e-6 relative error at half the MXU passes of Precision.HIGHEST (Mosaic
@@ -335,7 +337,7 @@ def warp_frame_to_parts_pallas(
     n_tiles = (h * w) // P
     n_y = n_x = src_tiles
 
-    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))
+    Minv = inv3x3(M_fwd)
     minv9 = Minv.reshape(N, 9)
     if valid is None:
         valid_b = jnp.ones((N,), bool)
@@ -412,7 +414,7 @@ def warp_frame_to_parts_pallas_batched(
     n_tiles = (h * w) // P
     n_y = n_x = src_tiles
 
-    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))  # [B, N, 3, 3]
+    Minv = inv3x3(M_fwd)  # [B, N, 3, 3]
     minv9 = Minv.reshape(B * N, 9)
     if valid is None:
         valid_b = jnp.ones((B, N), bool)
@@ -487,7 +489,7 @@ def warp_parts_pallas(
     log2_w = W.bit_length() - 1
     n_tiles = (H * W) // P
 
-    Minv = jnp.linalg.inv(M_fwd.astype(jnp.float32))
+    Minv = inv3x3(M_fwd)
     minv9 = Minv.reshape(N, 9)
     if valid is None:
         valid_b = jnp.ones((N,), bool)

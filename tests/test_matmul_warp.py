@@ -12,6 +12,7 @@ import pytest
 
 from pasta_gan_tpu.data.warp import warp_perspective_inv
 from pasta_gan_tpu.ops.matmul_warp import (
+    inv3x3,
     warp_coords,
     warp_perspective_inv_matmul,
 )
@@ -76,6 +77,41 @@ def test_matmul_warp_image_gradient_matches_gather_vjp():
     d_ref = jax.grad(loss_gather)(img)
     d_mm = jax.grad(loss_matmul)(img)
     np.testing.assert_allclose(np.asarray(d_mm), np.asarray(d_ref), atol=1e-4)
+
+
+def test_inv3x3_matches_linalg_inv():
+    """Adjugate inverse vs LU for the homography population the routing
+    program actually produces (near-identity affine + small perspective)."""
+    rng = np.random.default_rng(5)
+    Ms = jnp.stack([_rand_minv(rng) for _ in range(64)])
+    ref = jnp.linalg.inv(Ms)
+    out = inv3x3(Ms)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    # round-trip: M @ inv(M) == I
+    eye = jnp.einsum("bij,bjk->bik", Ms, out)
+    np.testing.assert_allclose(
+        np.asarray(eye), np.broadcast_to(np.eye(3), (64, 3, 3)), atol=1e-4
+    )
+    # arbitrary leading batch dims + unbatched
+    np.testing.assert_allclose(
+        np.asarray(inv3x3(Ms.reshape(8, 8, 3, 3))).reshape(64, 3, 3),
+        np.asarray(ref),
+        rtol=2e-5,
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(inv3x3(Ms[0])), np.asarray(ref[0]), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_inv3x3_singular_is_nonfinite_like_linalg():
+    """det==0 must produce non-finite entries (callers squash them), never
+    silently-wrong finite values."""
+    out = inv3x3(jnp.zeros((3, 3), jnp.float32))
+    assert not bool(jnp.all(jnp.isfinite(out)))
+    # rank-2 matrix (duplicate rows)
+    M = jnp.asarray([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [0.0, 1.0, 4.0]])
+    assert not bool(jnp.all(jnp.isfinite(inv3x3(M))))
 
 
 def test_warp_coords_matches_inline_math():
