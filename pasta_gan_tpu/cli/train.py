@@ -68,7 +68,12 @@ def main(argv=None):
                    help="batch the per-loss ADA+D calls into one invocation "
                    "(default with fast_geom)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--resume", default=None, help="train-state checkpoint dir")
+    p.add_argument("--resume", default=None,
+                   help="train-state checkpoint dir (full resume), or a "
+                   "network .pkl for transfer learning (name+shape-matching "
+                   "params copy in; legacy TF StyleGAN2 exports — the "
+                   "reference's ffhq/celebahq resume presets — and reference "
+                   "torch snapshots both work)")
     p.add_argument("--vgg_ckpt", default=None, help="torch vgg19 state_dict path")
     p.add_argument("--snap", type=int, default=50, help="snapshot interval ticks")
     p.add_argument("--img_snap", type=int, default=None,
@@ -122,6 +127,39 @@ def main(argv=None):
     if args.synthetic:
         desc += "-synthetic"
 
+    # Transfer-learning presets (reference train_wo_flow_fullbody.py:319-341):
+    # preset name -> stock StyleGAN2-ADA pickle, resolved through open_url's
+    # md5-keyed cache (no egress here — see WEIGHTS.md for pre-placing files).
+    resume_specs = {
+        "ffhq256": "https://nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/pretrained/transfer-learning-source-nets/ffhq-res256-mirror-paper256-noaug.pkl",
+        "ffhq512": "https://nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/pretrained/transfer-learning-source-nets/ffhq-res512-mirror-stylegan2-noaug.pkl",
+        "ffhq1024": "https://nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/pretrained/transfer-learning-source-nets/ffhq-res1024-mirror-stylegan2-noaug.pkl",
+        "celebahq256": "https://nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/pretrained/transfer-learning-source-nets/celebahq-res256-mirror-paper256-kimg100000-ada-target0.5.pkl",
+        "lsundog256": "https://nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/pretrained/transfer-learning-source-nets/lsundog-res256-paper256-kimg100000-noaug.pkl",
+    }
+    resume = args.resume
+    if resume is None or resume == "noresume":
+        resume = None
+        desc += "-noresume" if args.resume == "noresume" else ""
+    elif resume in resume_specs:
+        desc += f"-resume{resume}"
+        from ..utils import open_url
+
+        try:
+            resume = open_url(resume_specs[resume], return_filename=True)
+        except Exception as e:
+            raise SystemExit(
+                f"--resume {args.resume}: the preset pickle is not in the "
+                f"open_url cache and this deployment has no egress "
+                f"({e}); download {resume_specs[args.resume]} elsewhere and "
+                "pre-place it (WEIGHTS.md), or pass a local .pkl path"
+            )
+    elif os.path.isfile(resume):
+        desc += "-resumecustom"
+    if resume is not None and not os.path.isdir(resume):
+        # reference: ADA reacts faster at the start of a transfer run
+        config = replace_nested(config, **{"ada.kimg": 100})
+
     if args.dry_run:
         print("Resolved training config:")
         print(to_json(config))
@@ -164,7 +202,7 @@ def main(argv=None):
         config=config,
         mesh=mesh,
         vgg_params=vgg_params,
-        resume=args.resume,
+        resume=resume,
     )
 
 

@@ -15,16 +15,20 @@ torch modules by variable-name pattern matching (`legacy.py:20-28,64-110,
   conversion no conv transpose is needed; dense weights transpose
   [in, out] -> [out, in].
 
-The GENERATOR conversion (`legacy.py:116-204`) targets the stock
-unconditional StyleGAN2 synthesis network, which none of the PASTA-GAN
-model families use (every cluster replaces the const-input synthesis with
-pose/style encoders); there is no landing target in this zoo, so TF
-generator pickles raise with a pointer to the torch path
-(`io/torch_import.py`) used by every PASTA-GAN checkpoint.
+* `convert_tf_generator` fills `models.generator_stock.GeneratorStock`
+  variables from the TF names (`legacy.py:109-204`).  The reference's own
+  generator conversion is vestigial — it builds `networks.Generator`, whose
+  blocks were rewritten for PASTA-GAN (const input replaced by a
+  pose_feature argument, an extra merge_conv per skip block,
+  `networks.py:368-371,391-392`), so its pattern table no longer covers the
+  module; ours lands on the true stock architecture the TF pickles contain,
+  which is also what the transfer-learning resume presets
+  (`train_wo_flow_fullbody.py:319-325`) ship.
 """
 
 from __future__ import annotations
 
+import math
 import pickle
 from typing import Dict, Tuple
 
@@ -214,10 +218,174 @@ def convert_tf_discriminator(tf_D: TFNetworkStub, variables) -> dict:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
-def convert_tf_generator(tf_G: TFNetworkStub):
-    raise NotImplementedError(
-        "TF-legacy pickles hold the STOCK StyleGAN2 generator (const-input "
-        "synthesis, `legacy.py:116-204`); no PASTA-GAN family uses that "
-        "architecture, so there is no landing target in this zoo. Every "
-        "PASTA-GAN checkpoint is a torch pickle - use io.torch_import."
+def generator_kwargs_from_tf(tf_G: TFNetworkStub) -> dict:
+    """TF static_kwargs -> our GeneratorStock constructor kwargs
+    (`legacy.py:116-155`).  Raises on unknown kwargs like the reference."""
+    if tf_G.version < 4:
+        raise ValueError("TensorFlow pickle version too low")
+    kw = dict(tf_G.static_kwargs)
+
+    def get(name, default=None, none=None):
+        val = kw.get(name, default)
+        return val if val is not None else none
+
+    mapped = dict(
+        z_dim=get("latent_size", 0),
+        c_dim=get("label_size", 512),
+        w_dim=get("dlatent_size", 512),
+        img_resolution=get("resolution", 1024),
+        img_channels=get("num_channels", 3),
+        mapping_kwargs=dict(
+            num_layers=get("mapping_layers", 8),
+            embed_features=get("label_fmaps", None),
+            layer_features=get("mapping_fmaps", None),
+            activation=get("mapping_nonlinearity", "lrelu"),
+            lr_multiplier=get("mapping_lrmul", 0.01),
+            w_avg_beta=get("w_avg_beta", 0.995, none=1),
+        ),
+        synthesis_kwargs=dict(
+            channel_base=get("fmap_base", 16384) * 2,
+            channel_max=get("fmap_max", 512),
+            num_fp16_res=get("num_fp16_res", 0),
+            conv_clamp=get("conv_clamp", None),
+            architecture=get("architecture", "skip"),
+            resample_filter=tuple(get("resample_kernel", (1, 3, 3, 1))),
+            use_noise=get("use_noise", True),
+            activation=get("nonlinearity", "lrelu"),
+        ),
     )
+    known = {
+        "latent_size", "label_size", "dlatent_size", "resolution",
+        "num_channels", "mapping_layers", "label_fmaps", "mapping_fmaps",
+        "mapping_nonlinearity", "mapping_lrmul", "w_avg_beta", "fmap_base",
+        "fmap_max", "num_fp16_res", "conv_clamp", "architecture",
+        "resample_kernel", "use_noise", "nonlinearity",
+        # consumed-and-ignored, as in the reference (`legacy.py:148-152`)
+        "truncation_psi", "truncation_cutoff", "style_mixing_prob", "structure",
+    }
+    unknown = set(kw) - known
+    if unknown:
+        raise ValueError(f"Unknown TensorFlow kwarg {sorted(unknown)[0]}")
+    return mapped
+
+
+def _tf_gen_name_for(path: Tuple[str, ...]):
+    """Our GeneratorStock variable path -> (TF name, kind).
+
+    kind: how the TF tensor maps onto our layout —
+      "plain"   copy (TF convs are [kh,kw,in,out] == our HWIO);
+      "flip"    spatial flip (up-convs: TF stores the conv-transpose kernel,
+                `legacy.py:181,199`);
+      "fcT"     dense transpose ([in,out] -> our eq-lr [out,in]);
+      "bias+1"  modulation bias (TF init 0, ours 1, `legacy.py:180` etc.);
+      "const"   [1,C,4,4] -> [4,4,C];
+      "noise"   [1,1,H,W] -> [H,W].
+    """
+    mod, leaf = path[:-1], path[-1]
+    comp = mod[0]
+    if comp == "mapping":
+        sub = mod[1]
+        if sub == "embed":
+            return f"mapping/LabelEmbed/{leaf}", "fcT" if leaf == "weight" else "plain"
+        if sub.startswith("fc"):
+            return (
+                f"mapping/Dense{sub[2:]}/{leaf}",
+                "fcT" if leaf == "weight" else "plain",
+            )
+    if comp == "synthesis":
+        r = int(mod[1][1:])  # "b{r}"
+        if leaf == "const":
+            return f"synthesis/{r}x{r}/Const/const", "const"
+        sub = mod[2]
+        lod = int(math.log2(r))
+        tf_layer = {
+            "conv0": "Conv0_up",
+            "conv1": "Conv" if r == 4 else "Conv1",
+            "torgb": "ToRGB",
+            "skip": "Skip",
+        }[sub]
+        if leaf == "noise_const":
+            k = 0 if r == 4 else (2 * lod - 5 if sub == "conv0" else 2 * lod - 4)
+            return f"synthesis/noise{k}", "noise"
+        if len(mod) > 3 and mod[3] == "affine":
+            tf_leaf = {"weight": "mod_weight", "bias": "mod_bias"}[leaf]
+            kind = "fcT" if leaf == "weight" else "bias+1"
+            return f"synthesis/{r}x{r}/{tf_layer}/{tf_leaf}", kind
+        kind = "plain"
+        if leaf == "weight" and sub in ("conv0", "skip"):
+            kind = "flip"  # up-convs store the transposed-conv kernel
+        return f"synthesis/{r}x{r}/{tf_layer}/{leaf}", kind
+    raise KeyError(f"no TF mapping for our variable path {path}")
+
+
+def convert_tf_generator(tf_G: TFNetworkStub, variables) -> Tuple[dict, np.ndarray]:
+    """Fill OUR GeneratorStock `variables` (params + noise_const buffers) from
+    a TF stub.  Returns (new_variables, w_avg); `w_avg` is the pickle's
+    `dlatent_avg` — in this framework it is a train-state leaf, not a module
+    buffer (see nn/mapping.py), so it travels separately.  Raises on missing
+    or shape-incompatible tensors.  `variables` must have been init'd with
+    noise_mode="const" so the noise buffers exist (see
+    generator_stock_from_tf for the one-call path)."""
+    import jax
+
+    tf_params = collect_tf_params(tf_G)
+    # progressive-growing exports name the top ToRGB by lod (`legacy.py:160-165`)
+    import re
+
+    img_resolution = generator_kwargs_from_tf(tf_G)["img_resolution"]
+    for name, value in list(tf_params.items()):
+        match = re.fullmatch(r"ToRGB_lod(\d+)/(.*)", name)
+        if match:
+            r = img_resolution // (2 ** int(match.group(1)))
+            tf_params[f"synthesis/{r}x{r}/ToRGB/{match.group(2)}"] = value
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    treedef = jax.tree_util.tree_structure(variables)
+    new_leaves = []
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        assert path[0] in ("params", "buffers"), path
+        tf_name, kind = _tf_gen_name_for(path[1:])
+        if tf_name not in tf_params:
+            raise KeyError(f"TF pickle is missing {tf_name} (for {path})")
+        value = np.asarray(tf_params[tf_name], np.float32)
+        if kind == "fcT":
+            value = value.T
+        elif kind == "flip":
+            value = value[::-1, ::-1]
+        elif kind == "bias+1":
+            value = value + 1.0
+        elif kind == "const":
+            value = value[0].transpose(1, 2, 0)
+        elif kind == "noise":
+            value = value[0, 0]
+        if value.shape != leaf.shape:
+            raise ValueError(
+                f"{tf_name}: TF shape {value.shape} != ours {leaf.shape} at {path}"
+            )
+        # NOT ascontiguousarray — it promotes 0-d scalars (noise_strength) to 1-d
+        new_leaves.append(np.array(value, dtype=leaf.dtype))
+    w_avg = np.asarray(tf_params["dlatent_avg"], np.float32)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), w_avg
+
+
+def generator_stock_from_tf(tf_G: TFNetworkStub):
+    """One-call conversion: TF stub -> (GeneratorStock, variables, w_avg)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.generator_stock import GeneratorStock
+
+    kwargs = generator_kwargs_from_tf(tf_G)
+    # progressive-growing lod-suffixed ToRGBs imply 'orig' (`legacy.py:164-165`)
+    if any(name.startswith("ToRGB_lod") for name in collect_tf_params(tf_G)):
+        kwargs["synthesis_kwargs"]["architecture"] = "orig"
+    gen = GeneratorStock(**kwargs)
+    z = jnp.zeros((1, kwargs["z_dim"]), jnp.float32) if kwargs["z_dim"] else None
+    c = jnp.zeros((1, kwargs["c_dim"]), jnp.float32) if kwargs["c_dim"] else None
+    # shapes only — no need to run the init math just to overwrite every leaf
+    variables = jax.eval_shape(
+        lambda: gen.init(jax.random.PRNGKey(0), z, c, noise_mode="const")
+    )
+    new_vars, w_avg = convert_tf_generator(tf_G, variables)
+    return gen, new_vars, w_avg

@@ -23,8 +23,9 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def state_dict_from_reference_pickle(path: str) -> Dict[str, np.ndarray]:
-    """Extract {name: array} for G_ema from a reference network-snapshot .pkl.
+def state_dict_from_reference_pickle(path: str, key: str = "G_ema") -> Dict[str, np.ndarray]:
+    """Extract {name: array} for one network (default G_ema) from a reference
+    network-snapshot .pkl; returns {} if `key` is absent from the snapshot.
 
     Loads with torch's unpickler (required: tensors), then immediately
     flattens to numpy — the persistence-reconstructed module is only walked
@@ -47,13 +48,14 @@ def state_dict_from_reference_pickle(path: str) -> Dict[str, np.ndarray]:
     if stubs is not None:
         raise ValueError(
             f"{path} is a legacy TensorFlow StyleGAN2 pickle; use "
-            "io.tf_legacy.convert_tf_discriminator (the stock TF generator "
-            "has no PASTA-GAN counterpart — see io/tf_legacy.py)"
+            "io.tf_legacy.generator_stock_from_tf / convert_tf_discriminator"
         )
 
     with open(path, "rb") as f:
         data = pickle.load(f)  # needs the reference's persistence import hooks
-    g = data["G_ema"] if isinstance(data, dict) else data
+    g = data.get(key) if isinstance(data, dict) else data
+    if g is None:
+        return {}
     out = {}
     for name, t in list(g.named_parameters()) + list(g.named_buffers()):
         out[name] = t.detach().cpu().numpy()

@@ -19,6 +19,7 @@ from .generator_v13 import GeneratorV13, GeneratorV14
 from .generator_v1 import GeneratorV1, SynthesisNetworkV1
 from .generator_v15 import GeneratorV15, GeneratorV15_2, GeneratorV17
 from .generator_v21 import GeneratorV16, GeneratorV20, GeneratorV21
+from .generator_stock import GeneratorStock
 from .generator_ablations import (
     GeneratorAvgPatchFull,
     GeneratorNoCoarse,
@@ -49,6 +50,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {
     "GeneratorV16": GeneratorV16,
     "GeneratorV20": GeneratorV20,
     "GeneratorV21": GeneratorV21,
+    # stock StyleGAN2-ADA generator — the TF-legacy / transfer-learning
+    # landing target (io/tf_legacy.py, reference legacy.py:109-204)
+    "GeneratorStock": GeneratorStock,
     "Discriminator": Discriminator,
     # ablation clusters (networks.py:6235-7725)
     "GeneratorRaw": GeneratorRaw,

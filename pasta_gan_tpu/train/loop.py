@@ -145,9 +145,17 @@ def training_loop(
     # individually (minutes of per-op RTT on remote-tunnel backends)
     state = jax.jit(trainer.init_state)(rng, {k: v[:1] for k, v in init_batch.items()})
     if resume is not None:
-        state = restore_train_state(resume, state)
-        if verbose:
-            print(f'Resumed from "{resume}" at step {int(jax.device_get(state.step))}')
+        if os.path.isfile(resume):
+            # transfer learning from a network pickle (reference resume_pkl,
+            # training_loop_wo_flow_fullbody.py:280-285): name+shape-matching
+            # params copy in, step/opt/controllers stay fresh
+            from ..io.transfer import transfer_from_network_pickle
+
+            state = transfer_from_network_pickle(state, resume, verbose=verbose)
+        else:
+            state = restore_train_state(resume, state)
+            if verbose:
+                print(f'Resumed from "{resume}" at step {int(jax.device_get(state.step))}')
 
     use_pl = config.loss.pl_weight > 0 and (config.g_reg_interval or 0) > 0
     if use_mesh:
