@@ -42,20 +42,54 @@ ITERS = 20
 
 
 def _time(fn, args, iters=ITERS):
+    # Verify-skill measurement rules, all of them at once:
+    #  * scalar readback per iteration (block_until_ready may not barrier),
+    #  * a THREADED DATA DEPENDENCY so no two iterations see identical input
+    #    buffers (identical calls can be CSE'd/elided end-to-end: the naive
+    #    per-iter-sync loop measured 1.9 ms for a program whose device
+    #    profile shows ~12 ms),
+    #  * MEDIAN of per-iteration times (one-off multi-second relay flushes
+    #    must not average in; the old mean once read 8679 ms),
+    #  * subtract the measured sync RTT floor (~28 ms tunnel round trip).
+    person, garment = args
+    fkey = next(
+        k for k, v in person.items() if jnp.issubdtype(v.dtype, jnp.floating)
+    )
+
+    @jax.jit
+    def step(p, g):
+        out = fn(p, g)
+        # reduce EVERY output — reducing one lets XLA dead-code the others
+        s = sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+        return s, p[fkey] + s * 0.0  # next iter's input depends on this one
+
+    p = dict(person)
     for _ in range(WARMUP):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+        s, p[fkey] = step(p, garment)
+        float(s)
+    times = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    if dt / iters < BATCH * 1e-4:  # axon relay barrier hazard (verify skill)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-            float(jnp.sum(out["style_input"]))
-        dt = time.perf_counter() - t0
-    return dt / iters
+        s, p[fkey] = step(p, garment)
+        float(s)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    if times[-1] > 10 * med:
+        print(f"# WARNING: relay stalls discarded (max {times[-1]:.3f}s vs "
+              f"median {med:.3f}s)", flush=True)
+    # sync-floor: dispatch + readback of a trivial computation (~pure RTT)
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = s
+    float(tiny(x))  # compile
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        x = tiny(x)
+        float(x)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    return max(med - rtt, 1e-6)
 
 
 def main():
