@@ -33,10 +33,12 @@ def _on_tpu() -> bool:
 
 
 def denorm_warp_parts(
-    src: jnp.ndarray,  # [P, h, w, C] patches (mask as the last channel)
+    src: jnp.ndarray,  # [P, h, w, C] patches ([P, C, h, w] if planar_in)
     M: jnp.ndarray,  # [P, 3, 3] patch->frame transforms
     valid: jnp.ndarray,  # [P] bool/float; invalid parts -> all-zero planes
     out_hw: tuple[int, int],
+    planar_in: bool = False,  # src arrives planar (straight from the norm
+    # kernels' planar output) — the input relayout disappears entirely
 ) -> jnp.ndarray:
     """All per-part denorm re-projections of one sample in one shot,
     constant-zero border, returned PLANAR [P, C, H, W] (the Pallas kernel's
@@ -53,7 +55,8 @@ def denorm_warp_parts(
         # 8 dst rows/tile by default: finer tiles skip more of each part's
         # support (measured ~1.7x vs 16 on realistic denorm quads) while the
         # [C*Hs, P] half-contraction stays well inside VMEM
-        C, Hs = src.shape[-1], src.shape[1]
+        C = src.shape[1] if planar_in else src.shape[-1]
+        Hs = src.shape[2] if planar_in else src.shape[1]
         rows = max(1, min(TUNING.denorm_rows_cap, (1 << 20) // (C * Hs * out_hw[1])))
         while out_hw[0] % rows:
             rows -= 1
@@ -65,7 +68,7 @@ def denorm_warp_parts(
         def _dn(src, M, valid):
             return warp_parts_pallas(
                 src, M, out_hw, "constant", valid=valid, rows_per_tile=rows,
-                planar=True,
+                planar=True, planar_in=planar_in,
             )
 
         @_dn.def_vmap
@@ -80,10 +83,13 @@ def denorm_warp_parts(
                 valid=valid.reshape(B * N),
                 rows_per_tile=rows,
                 planar=True,
+                planar_in=planar_in,
             )
             return out.reshape((B, N) + out.shape[1:]), True
 
         return _dn(src, M, valid)
+    if planar_in:
+        src = jnp.transpose(src, (0, 2, 3, 1))
     out = jax.vmap(
         lambda s, m: warp_perspective_matmul(s, m, out_hw, "constant")
     )(src, M)
@@ -286,7 +292,9 @@ def warp_perspective(
 _warp_parts_gather = jax.vmap(warp_perspective, in_axes=(None, 0, None, None))
 
 
-def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
+def _warp_parts(
+    img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str, planar: bool = False
+):
     """Per-part NORM warps (full frame -> small patches).
 
     On TPU the bilinear gather is per-ROW latency bound (~21 ns/row;
@@ -318,7 +326,8 @@ def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
         @jax.custom_batching.custom_vmap
         def _norm(img, Ms):
             return warp_frame_to_parts_pallas(
-                img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles
+                img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles,
+                planar=planar,
             )
 
         @_norm.def_vmap
@@ -326,13 +335,15 @@ def _warp_parts(img: jnp.ndarray, Ms: jnp.ndarray, out_hw, border: str):
             assert all(in_batched), in_batched
             return (
                 warp_frame_to_parts_pallas_batched(
-                    img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles
+                    img, Ms, out_hw, border, rows_per_tile=rows, src_tiles=stiles,
+                    planar=planar,
                 ),
                 True,
             )
 
         return _norm(img, Ms)
-    return _warp_parts_gather(img, Ms, out_hw, border)
+    out = _warp_parts_gather(img, Ms, out_hw, border)
+    return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
 
 class RoutedPatches(NamedTuple):
@@ -384,18 +395,20 @@ def route_patches_single(
     # ---- norm: image + clothes-mask patches, BORDER_REPLICATE.
     # The mask rides as a 4th channel of ONE warp: XLA lowers 1-channel
     # patch gathers to a serialized per-point while loop (measured ~2.3 s
-    # per batch-16 route vs ~24 ms for the 4-channel gather).
+    # per batch-16 route vs ~24 ms for the 4-channel gather).  Both norm
+    # warps emit PLANAR [P, 4, h, w] — the denorm kernel consumes planar
+    # directly, so the NHWC roundtrip between the two kernels disappears.
     srcU = jnp.concatenate([upper_img, upper_clothes_mask[..., :1]], axis=-1)
-    warpedU = _warp_parts(srcU, M, (h, w), "replicate") * vmask
-    part_imgs = warpedU[..., 0:3]
-    part_masks = warpedU[..., 3:4]
+    warpedU = _warp_parts(srcU, M, (h, w), "replicate", planar=True) * vmask
+    part_imgs = warpedU[:, 0:3]  # planar [10, 3, h, w]
+    part_masks = warpedU[:, 3:4]
     srcL = jnp.concatenate([lower_img, lower_clothes_mask[..., :1]], axis=-1)
     warpedL = (
-        _warp_parts(srcL, M_lower[LOWER_PART_START:], (h, w), "replicate")
+        _warp_parts(srcL, M_lower[LOWER_PART_START:], (h, w), "replicate", planar=True)
         * vmask_lower[LOWER_PART_START:]
     )
-    part_imgs_lower = warpedL[..., 0:3]
-    part_masks_lower = warpedL[..., 3:4]
+    part_imgs_lower = warpedL[:, 0:3]
+    part_masks_lower = warpedL[:, 3:4]
 
     # ---- denorm: re-project each patch, keep only saturated-mask pixels,
     #      composite sequentially (later parts overwrite).  The source is a
@@ -404,16 +417,12 @@ def route_patches_single(
     #      form was per-row latency bound at ~1M rows/part/batch-16 (300 of
     #      the 330 ms round-2 routing cost).
     L = LOWER_PART_START
-    srcs = jnp.concatenate(
-        [
-            jnp.concatenate([part_imgs, part_masks[..., :1]], axis=-1),
-            jnp.concatenate([part_imgs_lower, part_masks_lower[..., :1]], axis=-1),
-        ],
-        axis=0,
-    )  # [10 + 4, h, w, 4]
+    # the [img|mask] 4-channel layout the denorm kernel wants IS the norm
+    # kernels' output — srcs is a plain part-axis concat, no channel surgery
+    srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [14, 4, h, w]
     Ms = jnp.concatenate([M_inv, M_inv[L:]], axis=0)
     vs = jnp.concatenate([denorm_valid, denorm_valid[L:]], axis=0)
-    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # PLANAR [14, 4, H, W]
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W), planar_in=True)  # [14, 4, H, W]
     # sat masks as [14, H, W, 1] — a plain slice of the planar layout (no
     # relayout); compositing runs planar and only the final 3-channel images
     # transpose back to NHWC.
@@ -446,8 +455,8 @@ def route_patches_single(
 
     hand_masks = jnp.stack([hand_masks_list[p] for p in HAND_PARTS], axis=0)  # [4,H,W,1]
 
-    def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
-        return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
+    def stack_ch(x):  # planar [P,C,h,w] -> [h,w,P*C] (part-major channels)
+        return jnp.transpose(x, (2, 3, 0, 1)).reshape(x.shape[2], x.shape[3], -1)
 
     return RoutedPatches(
         norm_img=stack_ch(part_imgs),
@@ -456,10 +465,12 @@ def route_patches_single(
         denorm_lower_img=denorm_lower,
         M_invs=M_inv,
         denorm_hand_masks=hand_masks,
-        norm_clothes_masks=stack_ch(jnp.repeat(part_masks, 3, axis=-1) if part_masks.shape[-1] == 1 else part_masks),
+        norm_clothes_masks=stack_ch(
+            jnp.repeat(part_masks, 3, axis=1) if part_masks.shape[1] == 1 else part_masks
+        ),
         norm_clothes_masks_lower=stack_ch(
-            jnp.repeat(part_masks_lower, 3, axis=-1)
-            if part_masks_lower.shape[-1] == 1
+            jnp.repeat(part_masks_lower, 3, axis=1)
+            if part_masks_lower.shape[1] == 1
             else part_masks_lower
         ),
         valid=valid,
@@ -690,24 +701,25 @@ def route_patches_512_single(
 
     vU = valid_upper.astype(dtype)[:, None, None, None]
     srcU = jnp.concatenate([upper_img, upper_mask], axis=-1)  # [H,W,4]
-    warpedU = _warp_parts(srcU, M_upper, (h, w), "replicate") * vU  # [10,h,w,4]
-    part_imgs = warpedU[..., 0:3]
-    part_masks = warpedU[..., 3:4]
+    # planar norm -> planar denorm: no NHWC roundtrip between the kernels
+    warpedU = _warp_parts(srcU, M_upper, (h, w), "replicate", planar=True) * vU
+    part_imgs = warpedU[:, 0:3]  # planar [10, 3, h, w]
+    part_masks = warpedU[:, 3:4]
 
     ML = M_lower[jnp.asarray(LP)]
     vL = valid_lower[jnp.asarray(LP)].astype(dtype)[:, None, None, None]
     srcL = jnp.concatenate([lower_img, lower_mask], axis=-1)
-    warpedL = _warp_parts(srcL, ML, (h, w), "replicate") * vL  # [5,h,w,4]
-    part_imgs_lower = warpedL[..., 0:3]
-    part_masks_lower = warpedL[..., 3:4]
+    warpedL = _warp_parts(srcL, ML, (h, w), "replicate", planar=True) * vL
+    part_imgs_lower = warpedL[:, 0:3]
+    part_masks_lower = warpedL[:, 3:4]
 
     # ---- denorm into the person frame; erode-then-saturate on every part.
     # All 15 warps in one fused MXU hat-matmul kernel (denorm_warp_parts).
     lp_idx = jnp.asarray(LP)
-    srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [15, h, w, 4]
+    srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [15, 4, h, w]
     Ms = jnp.concatenate([M_inv, M_inv[lp_idx]], axis=0)
     vs = jnp.concatenate([valid_inv, valid_inv[lp_idx]], axis=0)
-    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W))  # PLANAR [15, 4, H, W]
+    dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W), planar_in=True)  # [15, 4, H, W]
     sat_all = erode_binary(
         (dn_all[:, 3][..., None] >= MASK_SATURATION_THRESHOLD).astype(dtype)
     ) * vs.astype(dtype)[:, None, None, None]  # [15, H, W, 1]
@@ -724,8 +736,8 @@ def route_patches_512_single(
     denorm_upper = jnp.transpose(denorm_upper, (1, 2, 0))
     denorm_lower = jnp.transpose(denorm_lower, (1, 2, 0))
 
-    def stack_ch(x):  # [P,h,w,C] -> [h,w,P*C]
-        return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
+    def stack_ch(x):  # planar [P,C,h,w] -> [h,w,P*C] (part-major channels)
+        return jnp.transpose(x, (2, 3, 0, 1)).reshape(x.shape[2], x.shape[3], -1)
 
     return RoutedPatches512(
         norm_img=stack_ch(part_imgs),

@@ -306,7 +306,9 @@ def _pack_yx_flags(yflags, xflags, n_y, n_x):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "border", "rows_per_tile", "src_tiles", "interpret"),
+    static_argnames=(
+        "out_hw", "border", "rows_per_tile", "src_tiles", "interpret", "planar"
+    ),
 )
 def warp_frame_to_parts_pallas(
     src: jnp.ndarray,  # [Hs, Ws, C] full source frame (shared by all parts)
@@ -317,6 +319,8 @@ def warp_frame_to_parts_pallas(
     rows_per_tile: int = 16,
     src_tiles: int = 4,
     interpret: bool = False,  # run the kernel in interpret mode (CPU CI)
+    planar: bool = False,  # return [N, C, h, w] (kernel-native; skips the
+    # NHWC relayout when the consumer — the denorm kernel — reads planar)
 ) -> jnp.ndarray:
     """NORM-direction batched warp (one big frame -> N small patches),
     matching vmap(warp_perspective, (None, 0, None, None))(src, M_fwd) with
@@ -379,12 +383,15 @@ def warp_frame_to_parts_pallas(
         out_shape=jax.ShapeDtypeStruct((N, C, h * w), jnp.float32),
         interpret=interpret,
     )(minv9, flags, srcA[None])
-    return jnp.transpose(out.reshape(N, C, h, w), (0, 2, 3, 1))
+    out = out.reshape(N, C, h, w)
+    return out if planar else jnp.transpose(out, (0, 2, 3, 1))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "border", "rows_per_tile", "src_tiles", "interpret"),
+    static_argnames=(
+        "out_hw", "border", "rows_per_tile", "src_tiles", "interpret", "planar"
+    ),
 )
 def warp_frame_to_parts_pallas_batched(
     src: jnp.ndarray,  # [B, Hs, Ws, C] source frames
@@ -395,6 +402,7 @@ def warp_frame_to_parts_pallas_batched(
     rows_per_tile: int = 16,
     src_tiles: int = 4,
     interpret: bool = False,
+    planar: bool = False,  # return [B, N, C, h, w] (see single-frame entry)
 ) -> jnp.ndarray:
     """Batched NORM warp in ONE kernel launch: grid (B*N, n_tiles), each
     frame shared by its N part programs via the src index_map.  vmap of the
@@ -456,15 +464,18 @@ def warp_frame_to_parts_pallas_batched(
         out_shape=jax.ShapeDtypeStruct((B * N, C, h * w), jnp.float32),
         interpret=interpret,
     )(minv9, flags, srcA)
-    return jnp.transpose(out.reshape(B, N, C, h, w), (0, 1, 3, 4, 2))
+    out = out.reshape(B, N, C, h, w)
+    return out if planar else jnp.transpose(out, (0, 1, 3, 4, 2))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "border", "rows_per_tile", "interpret", "planar"),
+    static_argnames=(
+        "out_hw", "border", "rows_per_tile", "interpret", "planar", "planar_in"
+    ),
 )
 def warp_parts_pallas(
-    src: jnp.ndarray,  # [N, Hs, Ws, C] float source patches
+    src: jnp.ndarray,  # [N, Hs, Ws, C] patches ([N, C, Hs, Ws] if planar_in)
     M_fwd: jnp.ndarray,  # [N, 3, 3] patch->dst (cv2 warpPerspective convention)
     out_hw: tuple[int, int],
     border: str = "constant",
@@ -474,6 +485,8 @@ def warp_parts_pallas(
     planar: bool = False,  # return [N, C, H, W] (the kernel-native layout;
     # skips the NHWC relayout copy — 1.4 ms/batch-16 when consumers can
     # composite planar)
+    planar_in: bool = False,  # src arrives [N, C, Hs, Ws] (e.g. straight from
+    # the planar-emitting norm kernels) — skips the input relayout too
 ) -> jnp.ndarray:
     """Batched perspective warp, NHWC in -> NHWC out, matching
     vmap(warp_perspective)(src, M_fwd) with constant/replicate borders.
@@ -481,7 +494,10 @@ def warp_parts_pallas(
     Requires the out width to be a power of two (true for every routing
     frame: the reference pads 256x192->256x256 and 512x320 images warp in
     the padded 512/256-wide frames)."""
-    N, Hs, Ws, C = src.shape
+    if planar_in:
+        N, C, Hs, Ws = src.shape
+    else:
+        N, Hs, Ws, C = src.shape
     H, W = out_hw
     assert W & (W - 1) == 0, f"out width {W} must be a power of two"
     P = rows_per_tile * W
@@ -510,7 +526,10 @@ def warp_parts_pallas(
     minv9, flags = jax.lax.optimization_barrier((minv9, flags))
 
     # channel-major [C*Hs, Ws], zero-padded on K to make the y-hat rows inert
-    srcA = jnp.transpose(src.astype(jnp.float32), (0, 3, 1, 2)).reshape(N, C * Hs, Ws)
+    srcA = src.astype(jnp.float32)
+    if not planar_in:
+        srcA = jnp.transpose(srcA, (0, 3, 1, 2))
+    srcA = srcA.reshape(N, C * Hs, Ws)
     srcA = jnp.pad(srcA, ((0, 0), (0, 0), (0, Hs)))
 
     kernel = functools.partial(

@@ -112,3 +112,52 @@ def test_norm_kernel_swept_tile_configs(rows, st):
                                      rows_per_tile=rows, src_tiles=st,
                                      interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_norm_kernel_planar_output():
+    """planar=True must be exactly the transpose of the NHWC output, for
+    both the single-frame and the batched kernels."""
+    from pasta_gan_tpu.ops.pallas_warp import warp_frame_to_parts_pallas_batched
+
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (128, 128, 4)), jnp.float32)
+    Ms = _part_transforms(rng, 4)
+    nhwc = warp_frame_to_parts_pallas(img, Ms, (32, 32), "replicate",
+                                      rows_per_tile=8, interpret=True)
+    pl = warp_frame_to_parts_pallas(img, Ms, (32, 32), "replicate",
+                                    rows_per_tile=8, interpret=True, planar=True)
+    np.testing.assert_array_equal(
+        np.asarray(pl), np.asarray(nhwc).transpose(0, 3, 1, 2)
+    )
+    imgs = jnp.stack([img, img * 0.5])
+    Msb = jnp.stack([Ms, Ms])
+    nhwc_b = warp_frame_to_parts_pallas_batched(
+        imgs, Msb, (32, 32), "replicate", rows_per_tile=8, interpret=True
+    )
+    pl_b = warp_frame_to_parts_pallas_batched(
+        imgs, Msb, (32, 32), "replicate", rows_per_tile=8, interpret=True,
+        planar=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pl_b), np.asarray(nhwc_b).transpose(0, 1, 4, 2, 3)
+    )
+
+
+def test_denorm_kernel_planar_input():
+    """warp_parts_pallas(planar_in=True) on transposed src must equal the
+    NHWC-input call bit-for-bit."""
+    from pasta_gan_tpu.ops.pallas_warp import warp_parts_pallas
+
+    rng = np.random.default_rng(5)
+    src = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 4)), jnp.float32)
+    # patch -> frame: scale up and translate (denorm-like)
+    Ms = jnp.asarray(
+        np.stack([np.diag([4.0, 4.0, 1.0]) + rng.normal(0, 0.05, (3, 3)) * [[1, 1, 30], [1, 1, 30], [0, 0, 0]]
+                  for _ in range(4)]).astype(np.float32)
+    )
+    ref = warp_parts_pallas(src, Ms, (128, 128), "constant",
+                            rows_per_tile=8, interpret=True, planar=True)
+    out = warp_parts_pallas(jnp.transpose(src, (0, 3, 1, 2)), Ms, (128, 128),
+                            "constant", rows_per_tile=8, interpret=True,
+                            planar=True, planar_in=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
