@@ -99,6 +99,50 @@ def denorm_warp_parts(
 MASK_SATURATION_THRESHOLD = 254.5 / 255.0
 
 
+def _stack_ch_nhwc(x):  # [P, h, w, C] -> [h, w, P*C] (part-major channels)
+    return jnp.transpose(x, (1, 2, 0, 3)).reshape(x.shape[1], x.shape[2], -1)
+
+
+def _composite_denorm(
+    srcs: jnp.ndarray,  # [N, C, h, w] planar patches, mask last channel
+    Ms: jnp.ndarray,  # [N, 3, 3] patch->frame
+    valid: jnp.ndarray,  # [N] bool — part validity AND denorm mask
+    out_hw: tuple[int, int],
+    groups: tuple[int, ...],
+    erode_parts: tuple[bool, ...],
+    hand_parts: tuple[int, ...],
+):
+    """Fused denorm+erode+composite (ops/pallas_warp.py:_composite_kernel),
+    TPU only — callers fall back to the separate-pass pipeline elsewhere
+    (it is the parity oracle).  custom_vmap for the same reason as
+    denorm_warp_parts: the batch rule must launch ONE (B, n_tiles) grid."""
+    from ..ops.pallas_warp import warp_parts_composite_pallas
+    from ..ops.tuning import TUNING
+
+    C, Hs = srcs.shape[1], srcs.shape[2]
+    rows = max(1, min(TUNING.denorm_rows_cap, (1 << 20) // (C * Hs * out_hw[1])))
+    while out_hw[0] % rows:
+        rows -= 1
+    kw = dict(
+        out_hw=out_hw, groups=groups, erode_parts=erode_parts,
+        hand_parts=hand_parts, rows_per_tile=rows,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def _cp(srcs, Ms, valid):
+        g, hn = warp_parts_composite_pallas(
+            srcs[None], Ms[None], valid[None], **kw
+        )
+        return g[0], hn[0]
+
+    @_cp.def_vmap
+    def _cp_vmap(axis_size, in_batched, srcs, Ms, valid):
+        assert all(in_batched), in_batched
+        return warp_parts_composite_pallas(srcs, Ms, valid, **kw), (True, True)
+
+    return _cp(srcs, Ms, valid)
+
+
 def _gather_patches(imgp, y0i, x0i, offset, out_shape, C):
     starts = jnp.stack([y0i + offset, x0i + offset], axis=-1).reshape(-1, 2)
     dnums = jax.lax.GatherDimensionNumbers(
@@ -422,6 +466,43 @@ def route_patches_single(
     srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [14, 4, h, w]
     Ms = jnp.concatenate([M_inv, M_inv[L:]], axis=0)
     vs = jnp.concatenate([denorm_valid, denorm_valid[L:]], axis=0)
+
+    from ..ops.tuning import TUNING
+
+    if _on_tpu() and TUNING.fused_composite:
+        # Fused denorm+erode+composite kernel: one grid step per dst
+        # row-tile loops all 14 parts in VMEM and writes ONLY the two
+        # composited planes + hand masks.  The separate-pass path below is
+        # the oracle (tests/test_composite_pallas.py).
+        n_parts = NUM_PARTS + (NUM_PARTS - L)
+        groups = (0,) * NUM_PARTS + (1,) * (NUM_PARTS - L)
+        ero = tuple(bool(erode_upper) and p < L for p in range(n_parts))
+        g_imgs, hands = _composite_denorm(
+            srcs, Ms, vs, (H, W), groups, ero, HAND_PARTS
+        )
+        denorm_upper = jnp.transpose(g_imgs[0], (1, 2, 0))
+        denorm_lower = jnp.transpose(g_imgs[1], (1, 2, 0))
+        hand_masks = hands[..., None]  # [4, H, W, 1]
+
+        def stack_ch(x):  # planar [P,C,h,w] -> [h,w,P*C] (part-major)
+            return jnp.transpose(x, (2, 3, 0, 1)).reshape(
+                x.shape[2], x.shape[3], -1
+            )
+
+        return RoutedPatches(
+            norm_img=stack_ch(part_imgs),
+            norm_img_lower=stack_ch(part_imgs_lower),
+            denorm_upper_img=denorm_upper,
+            denorm_lower_img=denorm_lower,
+            M_invs=M_inv,
+            denorm_hand_masks=hand_masks,
+            norm_clothes_masks=stack_ch(jnp.repeat(part_masks, 3, axis=1)),
+            norm_clothes_masks_lower=stack_ch(
+                jnp.repeat(part_masks_lower, 3, axis=1)
+            ),
+            valid=valid,
+        )
+
     dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W), planar_in=True)  # [14, 4, H, W]
     # sat masks as [14, H, W, 1] — a plain slice of the planar layout (no
     # relayout); compositing runs planar and only the final 3-channel images
@@ -583,6 +664,29 @@ def route_patches_v19_single(
 
     # Denorm: re-project image+mask into the person frame, saturation-gate.
     # All 10 warps in one fused MXU hat-matmul kernel (denorm_warp_parts).
+    from ..ops.tuning import TUNING
+
+    if _on_tpu() and TUNING.fused_composite:
+        srcs = jnp.concatenate(
+            [
+                jnp.transpose(part_imgs, (0, 3, 1, 2)),
+                jnp.transpose(part_masks, (0, 3, 1, 2)),
+            ],
+            axis=1,
+        )  # planar [10, 4, h, w]
+        g_imgs, _ = _composite_denorm(
+            srcs, Mp_inv, valid_p, (H, W),
+            groups=(0,) * L + (1,) * (NUM_PARTS - L),
+            erode_parts=(True,) * L + (False,) * (NUM_PARTS - L),
+            hand_parts=(),
+        )
+        return RoutedPatchesV19(
+            norm_img=_stack_ch_nhwc(part_imgs),
+            norm_pose=_stack_ch_nhwc(part_poses),
+            denorm_upper_img=jnp.transpose(g_imgs[0], (1, 2, 0)),
+            denorm_lower_img=jnp.transpose(g_imgs[1], (1, 2, 0)),
+        )
+
     dn_valid_gate = valid_p.astype(g_upper_img.dtype)[:, None, None, None]
     dn_all = denorm_warp_parts(
         jnp.concatenate([part_imgs, part_masks], axis=-1), Mp_inv, valid_p, (H, W)
@@ -719,6 +823,30 @@ def route_patches_512_single(
     srcs = jnp.concatenate([warpedU, warpedL], axis=0)  # [15, 4, h, w]
     Ms = jnp.concatenate([M_inv, M_inv[lp_idx]], axis=0)
     vs = jnp.concatenate([valid_inv, valid_inv[lp_idx]], axis=0)
+
+    from ..ops.tuning import TUNING
+
+    if _on_tpu() and TUNING.fused_composite:
+        n15 = NUM_PARTS + len(LP)
+        g_imgs, _ = _composite_denorm(
+            srcs, Ms, vs, (H, W),
+            groups=(0,) * NUM_PARTS + (1,) * len(LP),
+            erode_parts=(True,) * n15,  # the 512 path erodes EVERY mask
+            hand_parts=(),
+        )
+
+        def stack_pl(x):  # planar [P,C,h,w] -> [h,w,P*C]
+            return jnp.transpose(x, (2, 3, 0, 1)).reshape(
+                x.shape[2], x.shape[3], -1
+            )
+
+        return RoutedPatches512(
+            norm_img=stack_pl(part_imgs),
+            norm_img_lower=stack_pl(part_imgs_lower),
+            denorm_upper_img=jnp.transpose(g_imgs[0], (1, 2, 0)),
+            denorm_lower_img=jnp.transpose(g_imgs[1], (1, 2, 0)),
+        )
+
     dn_all = denorm_warp_parts(srcs, Ms, vs, (H, W), planar_in=True)  # [15, 4, H, W]
     sat_all = erode_binary(
         (dn_all[:, 3][..., None] >= MASK_SATURATION_THRESHOLD).astype(dtype)

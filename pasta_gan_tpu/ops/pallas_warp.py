@@ -468,6 +468,219 @@ def warp_frame_to_parts_pallas_batched(
     return out if planar else jnp.transpose(out, (0, 1, 3, 4, 2))
 
 
+def _roll_lanes(x, shift, interpret):
+    """Lane-axis roll of a [1, P] vector (erosion neighbor shifts).
+    pltpu.roll rejects negative shifts; rolls are cyclic, so wrap."""
+    if interpret:
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift % x.shape[1], axis=1)
+
+
+def _composite_kernel(
+    minv_ref, flags_ref, srcA_ref, *out_refs,
+    Hs, Ws, W, H, log2_w, C, P, N, groups, erode_parts, hand_parts,
+    thresh, interpret,
+):
+    """DENORM + erode + saturate + sequential composite, fused (one grid step
+    per (sample, dst row-tile); the part loop is unrolled in-kernel).
+
+    Replaces the three-pass XLA pipeline (denorm kernel writing all
+    [N, C, H, W] planes -> reduce_window erosion -> 14-step select chain)
+    with one kernel whose only HBM output is the composited group planes +
+    hand masks — ~5.6x less output traffic, and (part, tile) programs whose
+    support quad misses the tile cost nothing at all (the old kernel still
+    zero-wrote their blocks).
+
+    Per part: the image channels contract over the main tile range P; the
+    MASK channel contracts over an extended range P + 4W rows (the 5x5
+    erosion halo) so the binary erosion (min over the 24 neighbor shifts,
+    out-of-frame neighbors neutral 1.0 — cv2's +inf border on a 0/1 mask)
+    is exact across tile boundaries.  Reference semantics being fused:
+    dataset.py:880-927 (warpPerspective + ==255 + sequential overwrite) and
+    dataset.py:1485 (cv2.erode on the upper masks, test path)."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    word = flags_ref[i, t]
+    for r in out_refs:
+        r[0] = jnp.zeros(r.shape[1:], r.dtype)
+    hands_ref = out_refs[-1]
+    n_hands = hands_ref.shape[1]
+
+    for p in range(N):
+        @pl.when(((word >> p) & 1) != 0)
+        def _(p=p):
+            b9 = p * 9
+            m00 = minv_ref[i, b9 + 0]
+            m01 = minv_ref[i, b9 + 1]
+            m02 = minv_ref[i, b9 + 2]
+            m10 = minv_ref[i, b9 + 3]
+            m11 = minv_ref[i, b9 + 4]
+            m12 = minv_ref[i, b9 + 5]
+            m20 = minv_ref[i, b9 + 6]
+            m21 = minv_ref[i, b9 + 7]
+            m22 = minv_ref[i, b9 + 8]
+
+            ero = bool(erode_parts[p])
+            pad = 2 * W if ero else 0
+            Pe = P + 2 * pad
+            pidx = t * P - pad + jax.lax.broadcasted_iota(jnp.int32, (1, Pe), 1)
+            # two's-complement & / arithmetic >> keep x/y exact for the
+            # negative halo rows of tile 0 (discarded via the y-valid mask)
+            gxi = pidx & (W - 1)
+            gyi = pidx >> log2_w
+            gx = gxi.astype(jnp.float32)
+            gy = gyi.astype(jnp.float32)
+
+            denom = m20 * gx + m21 * gy + m22
+            denom = jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
+            sx = (m00 * gx + m01 * gy + m02) / denom
+            sy = (m10 * gx + m11 * gy + m12) / denom
+            # constant-zero border (denorm always): clamp into the
+            # all-zero-weight band, squash non-finite coords
+            sx = jnp.clip(sx, -2.0, float(Ws + 1))
+            sy = jnp.clip(sy, -2.0, float(Hs + 1))
+            sx = jnp.where(jnp.isfinite(sx), sx, -2.0)
+            sy = jnp.where(jnp.isfinite(sy), sy, -2.0)
+
+            K = Ws + Hs
+            sub = jax.lax.broadcasted_iota(jnp.int32, (K, Pe), 0)
+            is_x = sub < Ws
+            tap = jnp.where(is_x, sub, sub - Ws).astype(jnp.float32)
+            s = jnp.where(is_x, sx, sy)
+            HJ = jnp.maximum(0.0, 1.0 - jnp.abs(s - tap))  # [K, Pe]
+            HJm = HJ[:, pad : pad + P] if pad else HJ  # main-range slice
+
+            Ci = C - 1  # image channels; the mask rides last
+            base = p * C * Hs
+            T = _dot_bf16x3(srcA_ref[0, base : base + Ci * Hs], HJm)  # [Ci*Hs, P]
+            Bm = HJm[Ws : Ws + Hs, :]
+            Bw = pltpu.repeat(Bm, Ci, axis=0)
+            X = Bw * T
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (Ci, Ci * Hs), 0)
+            cols_i = jax.lax.broadcasted_iota(jnp.int32, (Ci, Ci * Hs), 1)
+            EC = (cols_i // Hs == rows_i).astype(jnp.bfloat16)
+            X_hi = X.astype(jnp.bfloat16)
+            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            img = jnp.dot(EC, X_hi, preferred_element_type=jnp.float32) + jnp.dot(
+                EC, X_lo, preferred_element_type=jnp.float32
+            )  # [Ci, P]
+
+            # mask channel over the extended (halo) range
+            Tm = _dot_bf16x3(srcA_ref[0, base + Ci * Hs : base + C * Hs], HJ)
+            Bx = HJ[Ws : Ws + Hs, :]
+            mv = jnp.sum(Bx * Tm, axis=0, keepdims=True)  # [1, Pe]
+            sat = (mv >= thresh).astype(jnp.float32)
+
+            if ero:
+                xm = sat
+                for dx in (-2, -1, 1, 2):
+                    sh = _roll_lanes(sat, -dx, interpret)
+                    ok = (gxi + dx >= 0) & (gxi + dx <= W - 1)
+                    xm = jnp.minimum(xm, jnp.where(ok, sh, 1.0))
+                ym = xm
+                for dy in (-2, -1, 1, 2):
+                    sh = _roll_lanes(xm, -dy * W, interpret)
+                    ok = (gyi + dy >= 0) & (gyi + dy <= H - 1)
+                    ym = jnp.minimum(ym, jnp.where(ok, sh, 1.0))
+                satm = ym[:, pad : pad + P]
+            else:
+                satm = sat
+
+            g = groups[p]
+            acc = out_refs[g]
+            acc[0] = img * satm + acc[0] * (1.0 - satm)
+            if p in hand_parts:
+                slot = hand_parts.index(p)
+                ri = jax.lax.broadcasted_iota(jnp.int32, (n_hands, P), 0)
+                hands_ref[0] = jnp.where(ri == slot, satm, hands_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_hw", "groups", "erode_parts", "hand_parts", "rows_per_tile",
+        "thresh", "interpret",
+    ),
+)
+def warp_parts_composite_pallas(
+    src: jnp.ndarray,  # [B, N, C, h, w] PLANAR patches (mask = last channel)
+    M_fwd: jnp.ndarray,  # [B, N, 3, 3] patch->frame (cv2 convention)
+    valid: jnp.ndarray,  # [B, N] bool — validity AND denorm mask, pre-ANDed
+    out_hw: tuple[int, int],
+    groups: tuple[int, ...],  # per-part composite target (0=upper, 1=lower, ...)
+    erode_parts: tuple[bool, ...],  # per-part: 5x5-erode the sat mask first
+    hand_parts: tuple[int, ...],  # parts whose sat mask is also emitted
+    rows_per_tile: int = 8,
+    thresh: float = 254.5 / 255.0,
+    interpret: bool = False,
+):
+    """Fused denorm -> erode -> saturate -> sequential composite.
+
+    Returns (group_imgs [B, n_groups, 3, H, W], hand_masks [B, n_hands, H, W])
+    == the XLA pipeline in data/warp.py:route_patches_single lines 413-456
+    (its CPU path remains the oracle; tests/test_composite_pallas.py)."""
+    B, N, C, Hs, Ws = src.shape
+    H, W = out_hw
+    assert W & (W - 1) == 0, f"out width {W} must be a power of two"
+    assert len(groups) == N and len(erode_parts) == N
+    P = rows_per_tile * W
+    assert (H * W) % P == 0
+    log2_w = W.bit_length() - 1
+    n_tiles = (H * W) // P
+    n_gr = max(groups) + 1
+    assert N <= 32  # one flag word per (sample, tile)
+
+    Minv = inv3x3(M_fwd)
+    minv9 = Minv.reshape(B, N * 9)
+    flags = _support_row_flags_v(
+        M_fwd.reshape(B * N, 3, 3).astype(jnp.float32),
+        valid.reshape(B * N).astype(bool),
+        Hs, Ws, H, n_tiles, rows_per_tile,
+    ).reshape(B, N, n_tiles)
+    words = jnp.sum(
+        flags * (1 << jnp.arange(N, dtype=jnp.int32))[None, :, None], axis=1
+    ).astype(jnp.int32)  # [B, n_tiles]
+    minv9, words = jax.lax.optimization_barrier((minv9, words))
+
+    srcA = src.astype(jnp.float32).reshape(B, N * C * Hs, Ws)
+    srcA = jnp.pad(srcA, ((0, 0), (0, 0), (0, Hs)))  # inert y-hat K-rows
+
+    kernel = functools.partial(
+        _composite_kernel,
+        Hs=Hs, Ws=Ws, W=W, H=H, log2_w=log2_w, C=C, P=P, N=N,
+        groups=groups, erode_parts=erode_parts, hand_parts=hand_parts,
+        thresh=thresh, interpret=interpret,
+    )
+    n_hands = max(len(hand_parts), 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # minv9 [B, N*9] + flag words [B, n_tiles]
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, N * C * Hs, Ws + Hs), lambda i, t, *_: (i, 0, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, C - 1, P), lambda i, t, *_: (i, 0, t))
+            for _ in range(n_gr)
+        )
+        + (pl.BlockSpec((1, n_hands, P), lambda i, t, *_: (i, 0, t)),),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, C - 1, H * W), jnp.float32)
+            for _ in range(n_gr)
+        )
+        + (jax.ShapeDtypeStruct((B, n_hands, H * W), jnp.float32),),
+        interpret=interpret,
+    )(minv9, words, srcA)
+    group_imgs = jnp.stack(
+        [o.reshape(B, C - 1, H, W) for o in outs[:-1]], axis=1
+    )  # [B, n_gr, C-1, H, W]
+    hands = outs[-1].reshape(B, n_hands, H, W)[:, : len(hand_parts)]
+    return group_imgs, hands
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

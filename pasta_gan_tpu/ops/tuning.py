@@ -29,6 +29,11 @@ class WarpTuning:
     # contraction, <= 16 each way — the packed y/x flags share one word).
     norm_rows_per_tile: int = 16
     norm_src_tiles: int = 4
+    # Fused denorm+erode+composite kernel on the 256 routing path
+    # (ops/pallas_warp.py:_composite_kernel).  False = the separate-pass
+    # pipeline (denorm kernel -> reduce_window erode -> select chain),
+    # which is also the non-TPU/oracle path.
+    fused_composite: bool = True
 
 
 TUNING = WarpTuning()
