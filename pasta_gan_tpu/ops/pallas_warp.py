@@ -231,14 +231,15 @@ def _norm_kernel(
                     )  # [C*st, P]
             Bw = pltpu.repeat(B, C, axis=0)  # [C*st, P]
             X = Bw * t_ref[...]
-            rows = jax.lax.broadcasted_iota(jnp.int32, (C, C * st), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (C, C * st), 1)
-            EC = (cols // st == rows).astype(jnp.bfloat16)
-            X_hi = X.astype(jnp.bfloat16)
-            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc_ref[...] += (
-                jnp.dot(EC, X_hi, preferred_element_type=jnp.float32)
-                + jnp.dot(EC, X_lo, preferred_element_type=jnp.float32)
+            # y-hat channel reassembly as an exact VPU sublane reduction
+            # (same move as _composite_kernel: the former [C, C*st]
+            # selector dot wasted the MXU on M=C and needed hi/lo splits)
+            acc_ref[...] += jnp.concatenate(
+                [
+                    jnp.sum(X[c * st : (c + 1) * st], axis=0, keepdims=True)
+                    for c in range(C)
+                ],
+                axis=0,
             )
     out_ref[0] = acc_ref[...]
 
@@ -556,19 +557,40 @@ def _composite_kernel(
             Bm = HJm[Ws : Ws + Hs, :]
             Bw = pltpu.repeat(Bm, Ci, axis=0)
             X = Bw * T
-            rows_i = jax.lax.broadcasted_iota(jnp.int32, (Ci, Ci * Hs), 0)
-            cols_i = jax.lax.broadcasted_iota(jnp.int32, (Ci, Ci * Hs), 1)
-            EC = (cols_i // Hs == rows_i).astype(jnp.bfloat16)
-            X_hi = X.astype(jnp.bfloat16)
-            X_lo = (X - X_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            img = jnp.dot(EC, X_hi, preferred_element_type=jnp.float32) + jnp.dot(
-                EC, X_lo, preferred_element_type=jnp.float32
+            # y-hat channel reassembly: img[c] = sum_i X[c*Hs+i].  A VPU
+            # sublane reduction — the former [Ci, Ci*Hs] selector MXU dot
+            # wasted 125/128 of the array on M=3 and needed an X hi/lo
+            # split; this is exact fp32 at zero MXU passes.
+            img = jnp.concatenate(
+                [
+                    jnp.sum(X[c * Hs : (c + 1) * Hs], axis=0, keepdims=True)
+                    for c in range(Ci)
+                ],
+                axis=0,
             )  # [Ci, P]
 
-            # mask channel over the extended (halo) range
-            Tm = _dot_bf16x3(srcA_ref[0, base + Ci * Hs : base + C * Hs], HJ)
+            # Mask channel over the extended (halo) range, in DEFICIT form:
+            # with d = 1-m (zeroed on the inert y-hat pad columns),
+            #   mv = sum_ij w_ij m_ij = wx*wy - sum_ij w_ij d_ij
+            # where wx[p] = sum_j hatx[j,p], wy[p] = sum_i haty[i,p] are
+            # exact fp32 VPU column sums of HJ.  The remaining dot's error
+            # is RELATIVE TO S = sum w*d, and sat flips only where
+            # mv ~ thresh, i.e. S <= (1-thresh)*wx*wy ~ 2e-3 — so a single
+            # bf16 MXU pass (abs err <~ 2^-8 * S <= 2e-8 there) replaces
+            # the bf16x3 triple at full boundary fidelity; garment-interior
+            # pixels (d = 0) are exact by construction.
+            mrows = srcA_ref[0, base + Ci * Hs : base + C * Hs]  # [Hs, Ws+Hs]
+            kcols = jax.lax.broadcasted_iota(jnp.int32, (Hs, Ws + Hs), 1)
+            md = jnp.where(kcols < Ws, 1.0 - mrows, 0.0)
+            Sd = jnp.dot(
+                md.astype(jnp.bfloat16),
+                HJ.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # [Hs, Pe]
             Bx = HJ[Ws : Ws + Hs, :]
-            mv = jnp.sum(Bx * Tm, axis=0, keepdims=True)  # [1, Pe]
+            wx = jnp.sum(HJ[:Ws, :], axis=0, keepdims=True)  # [1, Pe]
+            wy = jnp.sum(Bx, axis=0, keepdims=True)
+            mv = wx * wy - jnp.sum(Bx * Sd, axis=0, keepdims=True)  # [1, Pe]
             sat = (mv >= thresh).astype(jnp.float32)
 
             if ero:
