@@ -86,6 +86,12 @@ def main(argv=None):
                    "backprop — tests/test_train.py).  Default bfloat16: "
                    "the TPU config of record (448 vs 505 ms ADA step)")
     p.add_argument("--fmaps", type=float, default=None, help="channel_base multiplier override (reference --fmaps)")
+    p.add_argument("--accum", type=int, default=None,
+                   help="gradient-accumulation microbatches per phase "
+                   "(reference grad-accumulation rounds, training_loop_"
+                   "wo_flow_fullbody.py:494-508).  batch must divide "
+                   "evenly; e.g. --batch 96 --accum 12 runs the reference "
+                   "global batch on one chip at microbatch 8")
     p.add_argument("--kimg_per_tick", type=int, default=None)
     p.add_argument("-n", "--dry-run", action="store_true")
     args = p.parse_args(argv)
@@ -115,6 +121,12 @@ def main(argv=None):
         overrides["total_kimg"] = args.kimg
     if args.fmaps is not None:
         overrides["model.channel_base"] = int(args.fmaps * 32768)
+    if args.accum is not None:
+        if config.batch_size % args.accum:
+            raise SystemExit(
+                f"--accum {args.accum} must divide --batch {config.batch_size}"
+            )
+        overrides["accum_steps"] = args.accum
     if args.kimg_per_tick is not None:
         overrides["kimg_per_tick"] = args.kimg_per_tick
     if args.img_snap is not None:

@@ -459,27 +459,35 @@ class GANTrainer:
         if axis is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         g_rng, d_rng = jax.random.split(jax.random.fold_in(rng, state.step), 2)
-
-        # conditioning from the style encoder, detached (Dreg doesn't touch G).
-        stylecode, _ = self.gen.apply(
-            state.g_params,
-            batch["style_input"],
-            batch["retain"],
-            method=self.gen.encode_style,
-            rngs={"noise": g_rng},
-        )
-        gen_c = jax.lax.stop_gradient(stylecode)
         gain = float(cfg.d_reg_interval or 1)
 
-        def r1_loss(d_params):
-            def d_out(x):
-                return jnp.sum(self.run_D(d_params, x, gen_c, state.ada_p, d_rng))
+        # Microbatched like the main phases (_grads_with_accum): the R1
+        # double-backprop's activation footprint at global batch 96 exceeds
+        # one chip's HBM (measured 16.18G/15.75G), so the reg phase must
+        # scan the same accum microbatches as Gmain/Dmain.
+        def r1_loss(d_params, b, r):
+            # conditioning from the style encoder, detached (Dreg doesn't
+            # touch G)
+            stylecode, _ = self.gen.apply(
+                state.g_params,
+                b["style_input"],
+                b["retain"],
+                method=self.gen.encode_style,
+                rngs={"noise": g_rng},
+            )
+            gen_c = jax.lax.stop_gradient(stylecode)
 
-            grads = jax.grad(d_out)(batch["real_img"])
+            def d_out(x):
+                return jnp.sum(self.run_D(d_params, x, gen_c, state.ada_p, r))
+
+            grads = jax.grad(d_out)(b["real_img"])
             penalty = jnp.mean(jnp.sum(jnp.square(grads), axis=(1, 2, 3)))
             return penalty * (cfg.loss.r1_gamma / 2.0) * gain, penalty
 
-        (loss, penalty), d_grads = jax.value_and_grad(r1_loss, has_aux=True)(state.d_params)
+        d_grads, penalty = self._grads_with_accum(
+            r1_loss, state.d_params, batch, d_rng
+        )
+        loss = penalty * (cfg.loss.r1_gamma / 2.0) * gain
         d_grads = _pmean(d_grads, axis)
         d_grads = _scrub(d_grads, cfg.grad_clip_posinf)
         d_updates, d_opt_state = self.d_tx.update(d_grads, state.d_opt_state, state.d_params)
