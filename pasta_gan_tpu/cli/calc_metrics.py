@@ -258,14 +258,15 @@ def main(argv=None):
         if args.ppl_samples:
             ppl_kwargs["ppl_num_samples"] = args.ppl_samples
         if args.ppl_detector:
-            import torch
-
             from ..metrics.ppl import lpips_distance
+            from ..metrics.vgg16 import load_state_dict_file
 
-            sd = torch.load(args.ppl_detector, map_location="cpu", weights_only=False)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            ppl_kwargs["ppl_distance"] = lpips_distance(sd)
+            # handles all manifest formats: .npz, plain state_dict
+            # checkpoint, or the reference's TorchScript vgg16.pt (plain
+            # torch.load dies on a TorchScript archive)
+            ppl_kwargs["ppl_distance"] = lpips_distance(
+                load_state_dict_file(args.ppl_detector)
+            )
 
     if args.gen_dir:
         gen_source = _folder_source(args.gen_dir, args.batch, args.resolution)

@@ -46,12 +46,36 @@ LPIPS_SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
 LPIPS_SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 
+def load_state_dict_file(path: str) -> Dict[str, np.ndarray]:
+    """Flat state_dict from any accepted weight-file format
+    (detectors_manifest.py contract): `.npz`, a plain torch state_dict
+    checkpoint, or a TorchScript archive (the reference's `vgg16.pt`,
+    `metrics/metric_utils.py:40-51`) — whose 'layers.'-wrapped names are
+    stripped like metrics/inception.py:state_dict_from_torchscript."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:  # not a plain checkpoint -> TorchScript archive
+        obj = torch.jit.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k.split("layers.", 1)[-1]: v for k, v in obj.items()}
+
+
 def params_from_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     def np_(t):
         if hasattr(t, "detach"):
             t = t.detach().cpu().numpy()
         return np.asarray(t, np.float32)
 
+    if "features.0.weight" not in sd:
+        raise ValueError(
+            f"state_dict does not look like a torchvision vgg16 "
+            f"(keys: {sorted(sd)[:5]}...)"
+        )
     out: Dict[str, jnp.ndarray] = {}
     for i in _CONV_IDX:
         w = np_(sd[f"features.{i}.weight"])  # [O, I, kh, kw]
@@ -116,6 +140,10 @@ class VGG16Features:
     def from_state_dict(cls, sd) -> "VGG16Features":
         return cls(params_from_state_dict(sd))
 
+    @classmethod
+    def from_file(cls, path: str) -> "VGG16Features":
+        return cls.from_state_dict(load_state_dict_file(path))
+
     def _forward(self, images: jax.Array) -> jax.Array:
         x = images.astype(jnp.float32)
         if x.shape[1] != 224 or x.shape[2] != 224:
@@ -154,6 +182,10 @@ class LPIPSFeatures:
     @classmethod
     def from_state_dict(cls, sd) -> "LPIPSFeatures":
         return cls(params_from_state_dict(sd))
+
+    @classmethod
+    def from_file(cls, path: str) -> "LPIPSFeatures":
+        return cls.from_state_dict(load_state_dict_file(path))
 
     def _forward(self, images: jax.Array) -> jax.Array:
         x = (images.astype(jnp.float32) - LPIPS_SHIFT) / LPIPS_SCALE
