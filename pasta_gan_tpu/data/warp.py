@@ -32,6 +32,22 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused_composite(n_parts: int, C: int, Hs: int, Ws: int) -> bool:
+    """Gate for the fused denorm+erode+composite route branches.
+
+    TPU (or the interpret-mode test hook) + TUNING.fused_composite, plus a
+    VMEM residency guard: the kernel holds all N parts' sources resident
+    per grid step ([1, N*C*Hs, Ws+Hs] fp32, double-buffered), so a custom
+    route far bigger than the shipped ones must fall back to the
+    separate-pass pipeline rather than overflow Mosaic's VMEM allocator."""
+    from ..ops.tuning import TUNING
+
+    if not ((_on_tpu() or TUNING.composite_interpret) and TUNING.fused_composite):
+        return False
+    src_bytes = 2 * n_parts * C * Hs * (Ws + Hs) * 4
+    return src_bytes <= TUNING.fused_composite_src_budget
+
+
 def denorm_warp_parts(
     src: jnp.ndarray,  # [P, h, w, C] patches ([P, C, h, w] if planar_in)
     M: jnp.ndarray,  # [P, 3, 3] patch->frame transforms
@@ -126,6 +142,7 @@ def _composite_denorm(
     kw = dict(
         out_hw=out_hw, groups=groups, erode_parts=erode_parts,
         hand_parts=hand_parts, rows_per_tile=rows,
+        interpret=TUNING.composite_interpret,
     )
 
     @jax.custom_batching.custom_vmap
@@ -467,14 +484,12 @@ def route_patches_single(
     Ms = jnp.concatenate([M_inv, M_inv[L:]], axis=0)
     vs = jnp.concatenate([denorm_valid, denorm_valid[L:]], axis=0)
 
-    from ..ops.tuning import TUNING
-
-    if _on_tpu() and TUNING.fused_composite:
+    n_parts = NUM_PARTS + (NUM_PARTS - L)
+    if _use_fused_composite(n_parts, srcs.shape[1], srcs.shape[2], srcs.shape[3]):
         # Fused denorm+erode+composite kernel: one grid step per dst
         # row-tile loops all 14 parts in VMEM and writes ONLY the two
         # composited planes + hand masks.  The separate-pass path below is
         # the oracle (tests/test_composite_pallas.py).
-        n_parts = NUM_PARTS + (NUM_PARTS - L)
         groups = (0,) * NUM_PARTS + (1,) * (NUM_PARTS - L)
         ero = tuple(bool(erode_upper) and p < L for p in range(n_parts))
         g_imgs, hands = _composite_denorm(
@@ -664,9 +679,9 @@ def route_patches_v19_single(
 
     # Denorm: re-project image+mask into the person frame, saturation-gate.
     # All 10 warps in one fused MXU hat-matmul kernel (denorm_warp_parts).
-    from ..ops.tuning import TUNING
-
-    if _on_tpu() and TUNING.fused_composite:
+    if _use_fused_composite(
+        NUM_PARTS, 4, part_imgs.shape[1], part_imgs.shape[2]
+    ):
         srcs = jnp.concatenate(
             [
                 jnp.transpose(part_imgs, (0, 3, 1, 2)),
@@ -824,10 +839,8 @@ def route_patches_512_single(
     Ms = jnp.concatenate([M_inv, M_inv[lp_idx]], axis=0)
     vs = jnp.concatenate([valid_inv, valid_inv[lp_idx]], axis=0)
 
-    from ..ops.tuning import TUNING
-
-    if _on_tpu() and TUNING.fused_composite:
-        n15 = NUM_PARTS + len(LP)
+    n15 = NUM_PARTS + len(LP)
+    if _use_fused_composite(n15, srcs.shape[1], srcs.shape[2], srcs.shape[3]):
         g_imgs, _ = _composite_denorm(
             srcs, Ms, vs, (H, W),
             groups=(0,) * NUM_PARTS + (1,) * len(LP),

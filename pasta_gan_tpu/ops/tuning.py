@@ -34,6 +34,17 @@ class WarpTuning:
     # pipeline (denorm kernel -> reduce_window erode -> select chain),
     # which is also the non-TPU/oracle path.
     fused_composite: bool = True
+    # VMEM guard for the fused kernel: it keeps ALL N parts' sources
+    # resident per grid step ([1, N*C*Hs, Ws+Hs] fp32, double-buffered).
+    # Routes whose residency exceeds this budget fall back to the
+    # separate-pass pipeline instead of risking a Mosaic VMEM overflow.
+    # The largest shipped route (512px: 15 parts x 4ch x 128x256 x 2
+    # buffers = 15.7 MB) compiles and runs fast on v5e, so the default
+    # only rejects substantially bigger (custom) routes.
+    fused_composite_src_budget: int = 24 << 20
+    # Test hook: run the fused composite kernel in pallas interpret mode so
+    # CPU CI can execute the fused call-site wiring (tests only).
+    composite_interpret: bool = False
 
 
 TUNING = WarpTuning()
